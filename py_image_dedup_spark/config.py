@@ -1,0 +1,89 @@
+"""Engine configuration.
+
+Mirrors the reference's config surface (py_image_dedup/config.py) where the
+concept carries over to text:
+
+* ``max_dist``         <- DEDUPLICATOR_MAX_DISTANCE (config.py:98-106, default 0.10)
+* ``prioritization_rules`` <- DEDUPLICATOR_PRIORITIZATION_RULES (config.py:224-245)
+* ``max_ts_delta``     <- MAX_FILE_MODIFICATION_TIME_DELTA (config.py:212-222)
+* ``across_sources``   <- SEARCH_ACROSS_ROOT_DIRS (config.py:165-173)
+* ``dry_run``          <- DRY_RUN (config.py:68-75)
+
+New knobs are the text-hashing parameters (shingle size, MinHash k, LSH
+banding) and scale controls (bucket cap, shuffle partitions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Default rule order mirrors the reference default
+# (py_image_dedup/config.py:234-244) remapped to the text domain; the
+# north-star policy is "longest clean text, earliest warc_ts, url asc".
+DEFAULT_RULES: tuple[str, ...] = (
+    "more-content",       # <- higher-pixel-count (deduplicator.py:489-494)
+    "older-timestamp",    # north-star flip of newer-file-modification-date
+    "bigger-size",        # <- bigger-file-size (deduplicator.py:441-443)
+    "doesnt-contain-copy-in-url",  # <- ...in-file-name (deduplicator.py:466-468)
+    "longer-url-name",    # <- longer-file-name (deduplicator.py:469-471)
+    "longer-url-path",    # <- longer-folder-path (deduplicator.py:477-479)
+)
+
+# Large Mersenne-ish prime used for the polynomial text fingerprint; chosen
+# so (acc*31 + c) never overflows int64 and is reproducible in ANSI SQL.
+FINGERPRINT_MOD = 1_000_000_007
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All tunables for one dedup run. Frozen → safe to close over in UDFs."""
+
+    # --- similarity semantics (reference: config.py:98-106) ---
+    max_dist: float = 0.10          # confirmed-duplicate cutoff: dist <= max_dist
+    shingle_k: int = 5              # char n-gram size
+    num_hashes: int = 128           # MinHash signature length
+    lsh_bands: int = 32             # b
+    lsh_rows: int = 4               # r (b*r == num_hashes)
+    hash_seed: int = 42             # seeds the permutation constants
+
+    # --- SimHash mode ---
+    simhash_bits: int = 64
+    # Hamming cutoff = ceil(simhash_bits * max_dist); pigeonhole banding uses
+    # cutoff+1 blocks.
+
+    # --- substring-containment mode ---
+    substring_len: int = 50         # sampled substring window
+    substring_stride: int = 25      # sampling stride
+    min_shared_keys: int = 1
+
+    # --- selection policy (reference: config.py:224-245) ---
+    prioritization_rules: tuple[str, ...] = DEFAULT_RULES
+    # mod-time-delta exception (deduplicator.py:397-410): a non-keeper whose
+    # |warc_ts - keeper_ts| exceeds this many seconds is kept anyway.
+    # None => disabled (reference default: disabled, config.py:212-222).
+    max_ts_delta_s: float | None = None
+
+    # --- scope (reference: config.py:165-173) ---
+    across_sources: bool = True     # False => only pair urls sharing source prefix
+
+    # --- scale controls ---
+    # Max rows a single LSH bucket may contribute pairs from. Buckets larger
+    # than this are Zipfian boilerplate at web scale; they get salted-split
+    # capped sampling and are reported in metrics instead of exploding n^2.
+    bucket_cap: int = 1000
+    shuffle_partitions: int = 32
+    dry_run: bool = False
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_hashes:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_hashes ({self.num_hashes})"
+            )
+
+    @property
+    def hamming_cutoff(self) -> int:
+        import math
+
+        return math.ceil(self.simhash_bits * self.max_dist)

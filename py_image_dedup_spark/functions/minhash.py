@@ -1,0 +1,114 @@
+"""MinHash signatures over character shingles — NumPy-vectorized pandas UDF.
+
+Replaces the reference's delegation to image-match's Goldberg signature
+(py_image_dedup/persistence/elasticsearchstorebackend.py:142-145): instead of
+a 648-dim int8 image signature we compute a k-permutation MinHash signature
+of the document's character-shingle set.
+
+Kernel design (per BASELINE.json input_hint: "no per-row Python"):
+ * the whole Arrow batch's shingle hashes are concatenated into ONE uint64
+   array with per-doc offsets;
+ * each of the ``num_hashes`` permutations is a single vectorized
+   multiply-add over that array (multiply-shift universal hashing, mod 2^64
+   wraparound — no bigint needed);
+ * per-doc minima come from ``np.minimum.reduceat`` over the offsets.
+So cost is O(num_hashes × total_chars) of pure NumPy, independent of row
+count.
+
+dist = 1 − estimated Jaccard, where the estimate is the fraction of agreeing
+signature positions (classic Broder MinHash; the analogue of the reference's
+normalized signature distance consumed at deduplicator.py:455-460).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from py_image_dedup_spark.config import DedupConfig
+
+_POLY_B = np.uint64(1099511628211)  # FNV-ish odd multiplier for char rolling hash
+
+# splitmix64 finalizer constants (public domain, Steele et al.)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_SM_ADD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates low-entropy polynomial hashes."""
+    z = h + _SM_ADD
+    z = (z ^ (z >> np.uint64(30))) * _SM_C1
+    z = (z ^ (z >> np.uint64(27))) * _SM_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def perm_constants(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed, seeded (a, b) permutation constants; a forced odd."""
+    rng = np.random.default_rng(cfg.hash_seed)
+    a = rng.integers(0, 2**63, size=cfg.num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 2**63, size=cfg.num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
+    """uint64 hash per character k-shingle. Texts shorter than k hash whole."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.shape[0]
+    if n < k or n == 0:
+        # degenerate doc: single shingle = whole text (empty -> constant)
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            h = h * _POLY_B + data[j]
+        return _mix64(h)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k vectorized passes, O(k*n) total
+        h = h * _POLY_B + data[j : j + m]
+    return _mix64(h)
+
+
+def make_minhash_udf(cfg: DedupConfig) -> Callable:
+    """Factory: pandas UDF text -> array<long> MinHash signature."""
+    a, b = perm_constants(cfg)
+    k = cfg.shingle_k
+    num_hashes = cfg.num_hashes
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            vals = texts.fillna("").to_numpy(dtype=object)
+            if len(vals) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            per_doc = [shingle_hashes_u64(t, k) for t in vals]
+            lens = np.fromiter((x.shape[0] for x in per_doc), dtype=np.int64)
+            starts = np.zeros(len(per_doc), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            big = np.concatenate(per_doc)
+            sigs = np.empty((num_hashes, len(per_doc)), dtype=np.uint64)
+            for i in range(num_hashes):
+                v = a[i] * big + b[i]  # uint64 wraparound == mod 2^64
+                sigs[i] = np.minimum.reduceat(v, starts)
+            out = sigs.T.astype(np.int64)  # reinterpret-with-wrap for LongType
+            yield pd.Series(list(out))
+
+    return minhash_sig
+
+
+def minhash_udf(cfg: DedupConfig | None = None) -> Callable:
+    return make_minhash_udf(cfg or DedupConfig())
+
+
+def est_jaccard_col(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of agreeing positions — pure built-in, JVM-side."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return agree / F.size(sig_a)

@@ -1,0 +1,64 @@
+"""Exact deduplication: content-hash groupBy → keep-best-copy.
+
+The minimum end-to-end slice (SURVEY.md §7 step 2) and, at web scale, the
+mandatory pre-pass before MinHash/LSH: identical-text mass (mirrors,
+re-crawls) would otherwise form degenerate mega-buckets in every LSH band
+(SURVEY.md §7 risk 3).
+
+All JVM-side built-ins: sha2 for the content key, one shuffle for the
+window. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.normalize import normalize_text
+from py_image_dedup_spark.operators.select import select_keepers
+
+
+def with_content_hash(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds content_hash = sha256 of the *canonically normalized* text, plus
+    the derived quality columns the policy needs."""
+    norm = normalize_text(text_col)
+    return (
+        pages.withColumn("norm_text", norm)
+        .withColumn("content_hash", F.sha2(F.col("norm_text"), 256))
+        .withColumn("n_bytes", F.octet_length(F.col(text_col)).cast("long"))
+        .withColumn("n_chars", F.length(F.col("norm_text")).cast("long"))
+    )
+
+
+def exact_duplicate_actions(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Full exact-dedup slice: hash → group (cluster_id = content_hash) →
+    policy selection → actions table (url, cluster_id, rank, keep_url,
+    action)."""
+    hashed = with_content_hash(pages)
+    candidates = hashed.select(
+        "url",
+        F.col("content_hash").alias("cluster_id"),
+        F.lit(0.0).alias("dist"),
+        F.lit(0.0).alias("score"),
+        "n_bytes",
+        "warc_ts",
+        "n_chars",
+    )
+    selected = select_keepers(candidates, cfg)
+    return selected.select("url", "cluster_id", "rank", "keep_url", "action")
+
+
+def exact_unique_representatives(pages_hashed: DataFrame) -> DataFrame:
+    """One representative row per distinct content_hash (min url — stable).
+
+    Scale note: this is what enters the MinHash/LSH stage; the near-dup
+    verdict of a representative is fanned back out to its exact-dup peers by
+    a join on content_hash.
+    """
+    w = Window.partitionBy("content_hash").orderBy("url")
+    return (
+        pages_hashed.withColumn("_rep_rank", F.row_number().over(w))
+        .where(F.col("_rep_rank") == 1)
+        .drop("_rep_rank")
+    )

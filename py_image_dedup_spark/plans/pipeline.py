@@ -1,0 +1,180 @@
+"""End-to-end dedup pipeline: the engine's `deduplicate_all`.
+
+Mirrors the reference's six-phase lifecycle
+(py_image_dedup/library/deduplicator.py:75-114) as Spark stages, each ending
+in a table commit that doubles as the resume point (north_rule: "Iceberg-
+checkpointed stage outputs so any run is resumable"). In this sandbox the
+table format is parquet-directory-per-stage; on a cluster the same
+`_checkpointed` seam writes Iceberg tables (MERGE semantics for S7).
+
+Stages:
+  1 pages_meta   url, content_hash, warc_ts, n_bytes, n_chars  (analyze P1)
+  2 signatures   MinHash sigs for one representative per distinct content
+                 (exact-dup pre-pass; SURVEY.md §7 risk 3)
+  3 pairs        LSH band self-join + verification (J1)
+  4 clusters     connected components over pair edges, fanned back out to
+                 all exact-dup members (A2)
+  5 actions      keep-best-copy window selection (O1-O4)
+  6 metrics      per-stage row counts + durations + hot-bucket report (A5)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.operators.components import connected_components
+from py_image_dedup_spark.operators.exact import (
+    exact_unique_representatives,
+    with_content_hash,
+)
+from py_image_dedup_spark.operators.lsh import (
+    candidate_pairs,
+    compute_signatures,
+    explode_bands,
+    hot_buckets,
+    verify_pairs,
+)
+from py_image_dedup_spark.operators.select import select_keepers
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _checkpointed(
+    spark: SparkSession,
+    path: str,
+    resume: bool,
+    build: Callable[[], DataFrame],
+    metrics: list[dict],
+    stage: str,
+) -> DataFrame:
+    """Stage seam: build+write parquet unless a committed output exists."""
+    t0 = time.time()
+    if resume and _done(path):
+        df = spark.read.parquet(path)
+        metrics.append({"stage": stage, "metric": "resumed", "value": 1.0})
+        return df
+    build().write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    metrics.append(
+        {"stage": stage, "metric": "seconds", "value": time.time() - t0}
+    )
+    metrics.append(
+        {"stage": stage, "metric": "rows", "value": float(df.count())}
+    )
+    return df
+
+
+def run_dedup_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    checkpoint_dir: str,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """pages(url, warc_ts, html?, text, lang) -> {pages_meta, signatures,
+    pairs, clusters, actions, metrics} — each stage committed to
+    checkpoint_dir/<stage> and skipped on re-run if already committed."""
+    metrics: list[dict] = []
+    p = lambda s: os.path.join(checkpoint_dir, s)  # noqa: E731
+
+    hashed_full = with_content_hash(pages)
+
+    pages_meta = _checkpointed(
+        spark, p("pages_meta"), resume,
+        lambda: hashed_full.select(
+            "url", "content_hash", "warc_ts", "n_bytes", "n_chars"
+        ),
+        metrics, "pages_meta",
+    )
+
+    signatures = _checkpointed(
+        spark, p("signatures"), resume,
+        lambda: compute_signatures(
+            exact_unique_representatives(hashed_full), cfg
+        ).select("url", "content_hash", "sig"),
+        metrics, "signatures",
+    )
+
+    def build_pairs() -> DataFrame:
+        bands = explode_bands(signatures, cfg)
+        hot = hot_buckets(bands, cfg).cache()
+        n_hot = hot.count()
+        metrics.append({"stage": "pairs", "metric": "hot_buckets", "value": float(n_hot)})
+        pairs = candidate_pairs(bands, cfg, hot=hot)
+        return verify_pairs(pairs, signatures, cfg)
+
+    pairs = _checkpointed(spark, p("pairs"), resume, build_pairs, metrics, "pairs")
+
+    def build_clusters() -> DataFrame:
+        rep_clusters = connected_components(
+            pairs, vertices=signatures.select("url"), src="url_a", dst="url_b"
+        )
+        # fan rep-level cluster ids back out to every exact-dup member
+        rep_map = signatures.select(
+            "content_hash", F.col("url").alias("rep_url")
+        )
+        return (
+            pages_meta.join(rep_map, "content_hash")
+            .join(
+                rep_clusters.withColumnRenamed("url", "rep_url"),
+                "rep_url",
+            )
+            .select("url", "cluster_id")
+        )
+
+    clusters = _checkpointed(
+        spark, p("clusters"), resume, build_clusters, metrics, "clusters"
+    )
+
+    def build_actions() -> DataFrame:
+        # per-representative min distance to any confirmed peer
+        rep_dist = (
+            pairs.select(F.col("url_a").alias("url"), "dist", "score")
+            .union(pairs.select(F.col("url_b").alias("url"), "dist", "score"))
+            .groupBy("url")
+            .agg(F.min("dist").alias("dist"), F.max("score").alias("score"))
+        )
+        rep_map = signatures.select(
+            "content_hash", F.col("url").alias("rep_url")
+        )
+        candidates = (
+            pages_meta.join(clusters, "url")
+            .join(rep_map, "content_hash")
+            .join(rep_dist.withColumnRenamed("url", "rep_url"), "rep_url", "left")
+            .select(
+                "url", "cluster_id",
+                F.coalesce("dist", F.lit(0.0)).alias("dist"),
+                F.coalesce("score", F.lit(0.0)).alias("score"),
+                "n_bytes", "warc_ts", "n_chars",
+            )
+        )
+        sel = select_keepers(candidates, cfg)
+        return sel.select("url", "cluster_id", "rank", "keep_url", "action")
+
+    actions = _checkpointed(
+        spark, p("actions"), resume, build_actions, metrics, "actions"
+    )
+
+    metrics_df = spark.createDataFrame(
+        [(m["stage"], m["metric"], m["value"]) for m in metrics],
+        "stage string, metric string, value double",
+    )
+    if not cfg.dry_run:
+        metrics_df.write.mode("overwrite").parquet(p("metrics"))
+
+    return {
+        "pages_meta": pages_meta,
+        "signatures": signatures,
+        "pairs": pairs,
+        "clusters": clusters,
+        "actions": actions,
+        "metrics": metrics_df,
+    }

@@ -1,0 +1,152 @@
+"""Deterministic synthetic `pages` corpus (FIXTURES.md §1/§3).
+
+Schema (BASELINE.json input_hint): url string, warc_ts timestamp,
+html binary, text string, lang string — plus fixture-only columns
+group_id, variant used by golden-cluster assertions.
+
+Variant taxonomy mirrors the reference's test corpus
+(tests/images/{bottles,building,clouds}/ with original/-edited/-grayscale/
+-telegram-compression variants; SURVEY.md §5):
+
+  original   base text; earliest warc_ts; the expected keeper
+  edited     ~1% word substitutions          (same cluster @ max_dist 0.30)
+  casews     case-folded / whitespace-noised (same NORMALIZED text, J = 1)
+  trunc      truncated to 88% of chars       (same cluster @ max_dist 0.30)
+  copy       identical text, url contains "copy", latest warc_ts
+             (same cluster, never keeper)
+  singleton  unrelated text (odd group ids)  (expected singleton cluster)
+
+Generation is DISTRIBUTED (mapInPandas over spark.range of group ids) and
+seed-stable per group id, so the same (seed, num_groups) always yields the
+same corpus on any partitioning — this is what lets the local[8] and
+local[32] bench runs share one on-disk input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = (
+    "group_id long, variant string, url string, warc_ts timestamp, "
+    "html binary, text string, lang string"
+)
+
+_VOCAB = np.array(
+    (
+        "the data spark query table scan filter join group sort merge hash "
+        "window stream batch row column value key order line part customer "
+        "small fast slow agg vector page crawl text token shard index store "
+        "cache block delta prime graph node edge label round robin score "
+        "band bucket salt probe claim"
+    ).split()
+)
+
+_BASE_TS = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def _render(words: np.ndarray) -> str:
+    """Words -> prose-ish text: sentence every 12 words, capitalized."""
+    parts: list[str] = []
+    for i, w in enumerate(words):
+        if i % 12 == 0:
+            parts.append(w.capitalize() if i else w.capitalize())
+        else:
+            parts.append(w)
+        if i % 12 == 11:
+            parts[-1] += "."
+    return " ".join(parts)
+
+
+def _escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _html(gid: int, text: str) -> bytes:
+    return (
+        f'<html><head><meta charset="utf-8"><title>g{gid}</title></head>'
+        f"<body>{_escape(text)}</body></html>"
+    ).encode("utf-8")
+
+
+def _group_rows(gid: int, seed: int) -> list[dict]:
+    rng = np.random.default_rng([seed, gid])
+    n_words = int(rng.integers(80, 700))
+    words = _VOCAB[rng.integers(0, len(_VOCAB), n_words)]
+    base = _render(words)
+    site = f"https://site{gid % 100}.example/{gid}"
+
+    def row(variant: str, text: str, ts_off_s: int, url_leaf: str) -> dict:
+        return {
+            "group_id": gid,
+            "variant": variant,
+            "url": f"{site}/{url_leaf}",
+            "warc_ts": _BASE_TS + pd.Timedelta(seconds=gid * 3600 + ts_off_s),
+            "html": _html(gid, text),
+            "text": text,
+            "lang": "de" if gid % 20 == 19 else "en",
+        }
+
+    if gid % 2 == 1:  # singleton distractor
+        return [row("singleton", base, 0, "index.html")]
+
+    # edited: ~1% word substitutions with a short token, so the edited
+    # variant is always strictly shorter than the original (keeps the
+    # "longest clean text wins" golden expectation unambiguous)
+    w2 = words.copy()
+    n_edits = max(1, n_words // 100)
+    idx = rng.choice(n_words, size=n_edits, replace=False)
+    w2[idx] = "ed"
+    edited = _render(w2)
+
+    # casews: uppercase ~10% of words + doubled spaces — same normalized text
+    w3 = words.copy()
+    up = rng.choice(n_words, size=max(1, n_words // 10), replace=False)
+    for i in up:
+        w3[i] = w3[i].upper()
+    casews = _render(w3).replace(" ", "  ")
+
+    trunc = base[: int(len(base) * 0.88)]
+
+    return [
+        row("original", base, 0, "index.html"),
+        row("edited", edited, 60, "edited.html"),
+        row("casews", casews, 120, "print.html"),
+        row("trunc", trunc, 180, "amp.html"),
+        row("copy", base, 86400, "copy-of-index.html"),
+    ]
+
+
+def generate_pages(
+    spark: SparkSession, num_groups: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic corpus: ~3 rows/group on average."""
+    base = spark.range(0, num_groups, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for gid in pdf["id"].to_numpy():
+                rows.extend(_group_rows(int(gid), seed))
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def expected_clusters(pages_fixture: DataFrame) -> DataFrame:
+    """Golden expectations at max_dist=0.30: all variants of an even group
+    share one cluster keyed by the original's url; keeper = original."""
+    from pyspark.sql import functions as F
+
+    return pages_fixture.select(
+        "url",
+        "group_id",
+        F.col("variant"),
+        F.when(F.col("variant") == "original", F.lit("keep"))
+        .when(F.col("variant") == "singleton", F.lit("keep"))
+        .otherwise(F.lit("delete"))
+        .alias("expected_action"),
+    )

@@ -1,0 +1,152 @@
+"""End-to-end golden-cluster pipeline tests (SURVEY.md §5: the analog of the
+reference's tests/images corpus + example.py run) plus checkpoint/resume."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.normalize import extract_text_udf
+from py_image_dedup_spark.plans.pipeline import run_dedup_pipeline
+from py_image_dedup_spark.sources.pages import generate_pages
+
+CFG = DedupConfig(max_dist=0.30)  # example.py:19 uses 0.30
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, 40, seed=42).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture()
+def ckpt(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def run(spark, pages, ckpt, resume=False, cfg=CFG):
+    return run_dedup_pipeline(spark, pages, cfg, ckpt, resume=resume)
+
+
+def test_extract_text_byte_identical(spark, pages):
+    """input_hint invariant: extract_text(html) == text per url, byte-exact."""
+    bad = (
+        pages.withColumn("extracted", extract_text_udf(F.col("html")))
+        .where(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_golden_clusters_and_keepers(spark, pages, ckpt):
+    out = run(spark, pages, ckpt)
+    actions = out["actions"].join(
+        pages.select("url", "group_id", "variant"), "url"
+    ).cache()
+
+    # every variant group resolves to exactly one cluster
+    split = (
+        actions.where(F.col("group_id") % 2 == 0)
+        .groupBy("group_id")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .where("n != 1")
+        .count()
+    )
+    assert split == 0
+
+    # no cross-group merges: a cluster never spans two group_ids
+    merged = (
+        actions.groupBy("cluster_id")
+        .agg(F.countDistinct("group_id").alias("n"))
+        .where("n != 1")
+        .count()
+    )
+    assert merged == 0
+
+    # keeper = original (longest clean text, earliest warc_ts)
+    keepers = actions.where("action = 'keep'")
+    assert keepers.where(
+        (F.col("group_id") % 2 == 0) & (F.col("variant") != "original")
+    ).count() == 0
+    # exactly one keeper per cluster
+    assert (
+        actions.groupBy("cluster_id")
+        .agg(F.sum((F.col("action") == "keep").cast("int")).alias("k"))
+        .where("k != 1")
+        .count()
+        == 0
+    )
+    # singletons keep themselves
+    assert keepers.where("variant = 'singleton'").count() == pages.where(
+        "variant = 'singleton'"
+    ).count()
+    # copy variants are never keepers (url contains 'copy', later ts)
+    assert keepers.where("variant = 'copy'").count() == 0
+    actions.unpersist()
+
+
+def test_resume_skips_completed_stages_and_is_identical(spark, pages, ckpt):
+    out1 = run(spark, pages, ckpt)
+    a1 = sorted(
+        (r["url"], r["cluster_id"], r["action"])
+        for r in out1["actions"].collect()
+    )
+    # simulate a crash after `pairs`: drop downstream stage outputs
+    for stage in ("clusters", "actions"):
+        shutil.rmtree(os.path.join(ckpt, stage), ignore_errors=True)
+    out2 = run(spark, pages, ckpt, resume=True)
+    a2 = sorted(
+        (r["url"], r["cluster_id"], r["action"])
+        for r in out2["actions"].collect()
+    )
+    assert a1 == a2
+    resumed = {
+        (r["stage"])
+        for r in out2["metrics"].where("metric = 'resumed'").collect()
+    }
+    assert {"pages_meta", "signatures", "pairs"} <= resumed
+
+
+def test_dup_pair_recall_on_golden_corpus(spark, pages, ckpt):
+    """north_rule gate: dup-pair recall >= 0.99 vs expected variant pairs.
+
+    Expected: within each even group, every pair of {original, edited,
+    casews, trunc, copy} is a duplicate pair at max_dist=0.30 (fixture
+    designed with exact-Jaccard margin above the cutoff)."""
+    out = run(spark, pages, ckpt)
+    actions = out["actions"].join(
+        pages.select("url", "group_id"), "url"
+    )
+    truth_pairs = set()
+    rows = pages.where(F.col("group_id") % 2 == 0).select(
+        "group_id", "url"
+    ).collect()
+    by_group: dict[int, list[str]] = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r["url"])
+    for urls in by_group.values():
+        urls = sorted(urls)
+        for i, a in enumerate(urls):
+            for b in urls[i + 1 :]:
+                truth_pairs.add((a, b))
+
+    cluster_of = {
+        r["url"]: r["cluster_id"] for r in actions.collect()
+    }
+    hit = sum(
+        1 for a, b in truth_pairs if cluster_of[a] == cluster_of[b]
+    )
+    recall = hit / len(truth_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall}"
+
+
+def test_metrics_emitted(spark, pages, ckpt):
+    out = run(spark, pages, ckpt)
+    stages = {r["stage"] for r in out["metrics"].collect()}
+    assert {"pages_meta", "signatures", "pairs", "clusters", "actions"} <= stages
