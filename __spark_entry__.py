@@ -1,38 +1,642 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline extension) run over the driver testdata tables;
+``oracle_sql()`` carries the DuckDB twin for every SQL-expressible one.
+Iterative / UDF-hash operators (MinHash LSH, SimHash, substring candidates,
+the full pipeline) are rows-only here and get brute-force oracles in
+tests/ instead.
+
+Column-name + value parity rules used throughout:
+ * every computed column is aliased identically on both sides;
+ * doubles in outputs are ratios of integers (bit-identical across
+   engines) — never accumulated float sums;
+ * money sums go through round(x*100) -> bigint (exact integer sums);
+ * rank/row_number cast to long on the Spark side (DuckDB emits BIGINT).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.shingles import char_shingles, shingle_set_jaccard
+from py_image_dedup_spark.functions.simhash import hamming_col, make_simhash_udf, simhash_blocks
+from py_image_dedup_spark.functions.textstats import (
+    fingerprint_col,
+    langid_col,
+    quality_cols,
+    token_count_col,
+)
+from py_image_dedup_spark.operators.components import connected_components
+from py_image_dedup_spark.operators.lsh import lsh_candidate_pipeline
+from py_image_dedup_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from py_image_dedup_spark.sources.documents import documents_as_pages, load_table
+
+# DuckDB twin of functions.normalize.normalize_text
+_NT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# DuckDB twin of the documents_as_pages url column
+_URL = "'doc://' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+JACCARD_K = 5
+JACCARD_MIN = 0.25  # edge threshold for the ngram-pair / CC oracle queries
+SESSION_GAP_S = 1800.0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_as_pages(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- S / P / O
+
+def q_exact_dedup_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/O1-O2: content-hash groups + keep-best (most normalized chars,
+    url asc). Mirrors operators/exact.py on the shared testdata."""
+    d = _docs(spark, sf_dir).select(
+        "url",
+        F.md5("norm_text").alias("content_key"),
+        F.col("n_chars_norm").alias("n_chars"),
+    )
+    w = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), F.col("url").asc()
+    )
+    wc = Window.partitionBy("content_key")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "keep_url", F.max(F.when(F.col("rank") == 1, F.col("url"))).over(wc)
+        )
+        .withColumn(
+            "action",
+            F.when(F.col("rank") == 1, F.lit("keep")).otherwise(F.lit("delete")),
+        )
+        .select("url", "content_key", "rank", "keep_url", "action")
+    )
+
+
+def q_keep_best_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O4 on synthetic multi-member clusters (doc_id % 97): longest text
+    wins, doc_id tiebreak — the window-policy core with real group sizes."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 97).alias("cluster_id"), "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "keep_id", F.max(F.when(F.col("rank") == 1, F.col("doc_id"))).over(wc)
+        )
+        .withColumn(
+            "action",
+            F.when(F.col("rank") == 1, F.lit("keep")).otherwise(F.lit("delete")),
+        )
+        .select("doc_id", "cluster_id", "rank", "keep_id", "action")
+    )
+
+
+def q_action_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: result summary counts over the policy output."""
+    return (
+        q_keep_best_policy(spark, sf_dir)
+        .groupBy("action")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: language allow-list filter (extension-filter analog)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_exclusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: regex exclusion filter (path-exclusion analog)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(~F.col("source").rlike("^src1"))
+        .select("doc_id", "source")
+    )
+
+
+def q_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A1: count scan grouped by source (progress denominators)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: exact-key point lookup."""
+    return load_table(spark, sf_dir, "documents").where(F.col("doc_id") == 421)
+
+
+def q_metadata_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: conjunctive metadata equality query."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "de") & (F.col("source") == "src3"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: analyze only rows absent from the signatures store (left_anti)."""
+    docs = load_table(spark, sf_dir, "documents")
+    indexed = docs.where(F.col("doc_id") % 7 != 0).select("doc_id")
+    return docs.join(indexed, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_cleanup_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: index rows whose live row disappeared (left_anti, reverse side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    live = docs.where(F.col("n_chars") >= 50).select("doc_id")
+    return docs.select("doc_id").join(live, "doc_id", "left_anti")
+
+
+# ------------------------------------------------------------- similarity
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 verification semantics, oracle-checkable: exact 5-gram Jaccard
+    pairs within source='src0' (jacc = int/int ratio, bit-stable)."""
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("source") == "src0")
+        .select("doc_id", char_shingles("norm_text", JACCARD_K).alias("sh"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc", shingle_set_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jacc") >= F.lit(JACCARD_MIN))
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distributed CC over the ngram-pair edges; oracle = recursive-CTE
+    transitive closure. component = min doc_id reachable."""
+    edges = q_ngram_jaccard_pairs(spark, sf_dir)
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == "src0")
+        .select("doc_id")
+    )
+    out = connected_components(
+        edges, vertices=nodes, src="id_a", dst="id_b", vertex_col="doc_id"
+    )
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long").alias("component")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 8 (ids/ranks
+    only: float sims are engine-internal)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (ids only). The corpus is vec_id<200
+    plus a scaled twin of each vector (id+1000000, v*2 — cosine 1 with its
+    source), so the operator provably finds every planted near-dup."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(twins)
+    return embedding_neardup_pairs(corpus, 0.999).select("id_a", "id_b")
+
+
+# ------------------------------------------------------------- text stats
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", token_count_col("text").alias("n_tokens"))
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", langid_col("text").alias("lang_pred"))
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint_col("text").alias("fp"))
+    )
+
+
+# ---------------------------------------------------- streaming-analog / SQL
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 analog batch-wise: session-gap (30 min) segmentation per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > F.lit(SESSION_GAP_S), 1
+        ).otherwise(0)
+        + F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_new").cast("long").alias("n_sessions"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg demo (TPC-H Q1 shape) with exact-integer money sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join documents x embeddings, grouped rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(
+            F.broadcast(e.select(F.col("vec_id").alias("doc_id"), "label")),
+            "doc_id",
+        )
+        .groupBy("lang", "label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 full MinHash+LSH candidate pipeline on documents (rows-only check;
+    brute-force oracle lives in tests/test_minhash.py)."""
+    cfg = DedupConfig(max_dist=0.5)
+    d = _docs(spark, sf_dir).select("url", "norm_text")
+    return lsh_candidate_pipeline(d, cfg)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash mode: bit-block banding candidates + Hamming verification
+    (cutoff = ceil(64*0.1) = 7; 8 blocks give the pigeonhole guarantee)."""
+    cfg = DedupConfig(max_dist=0.1)
+    n_blocks = 8
+    d = _docs(spark, sf_dir).select("url", "norm_text")
+    sh = d.withColumn("simhash", make_simhash_udf(cfg)(F.col("norm_text")))
+    blocks = sh.select(
+        "url", "simhash",
+        F.explode(simhash_blocks(F.col("simhash"), n_blocks)).alias("blk"),
+    ).select("url", "simhash", "blk.band_id", "blk.band_hash")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b.url").alias("url_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    cutoff = cfg.hamming_cutoff
+    return (
+        pairs.withColumn("hamming", hamming_col(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= cutoff)
+        .select("url_a", "url_b", "hamming")
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (random-hyperplane LSH buckets + exact re-rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.where(F.col("vec_id") < 8), emb, k=5, dim=64, n_bits=8, tables=8
+    ).select("query_id", "rank", "neighbor_id")
+
+
+# ------------------------------------------------------------------ driver
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact-dedup keep-best actions over sf0.001 documents."""
+    return q_exact_dedup_actions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup_actions": q_exact_dedup_actions,
+        "keep_best_policy": q_keep_best_policy,
+        "action_counts": q_action_counts,
+        "lang_filter": q_lang_filter,
+        "exclusion_filter": q_exclusion_filter,
+        "count_by_source": q_count_by_source,
+        "point_lookup": q_point_lookup,
+        "metadata_match": q_metadata_match,
+        "incremental_antijoin": q_incremental_antijoin,
+        "cleanup_orphans": q_cleanup_orphans,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "connected_components": q_connected_components,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "sessionize_events": q_sessionize_events,
+        "pricing_summary": q_pricing_summary,
+        "broadcast_join": q_broadcast_join,
+        # rows-only (iterative / UDF-hash operators)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = (
+        "list_distinct(list_transform("
+        f"range(0, greatest(length(nt) - {JACCARD_K - 1}, 1)), "
+        f"i -> substr(nt, i::INT + 1, {JACCARD_K})))"
+    )
+    stop_en = r"\b(the|and|of|to|is|in|that|it|with|a|for|on|as|are)\b"
+    lex = {
+        "en": r"\b(the|and|of|to|is|in|that|it|with)\b",
+        "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu)\b",
+        "fr": r"\b(le|la|les|et|est|dans|que|une|pour)\b",
+        "es": r"\b(el|la|los|que|es|en|por|una|con)\b",
+    }
+    lang_score = {
+        k: f"len(regexp_extract_all(lower(text), '{v}'))" for k, v in lex.items()
+    }
+    return {
+        "exact_dedup_actions": f"""
+            WITH d AS (
+              SELECT {_URL} AS url, {_NT} AS nt FROM documents
+            ), h AS (
+              SELECT url, md5(nt) AS content_key, length(nt) AS n_chars FROM d
+            ), r AS (
+              SELECT url, content_key,
+                     row_number() OVER (PARTITION BY content_key
+                                        ORDER BY n_chars DESC, url ASC) AS rank
+              FROM h
+            )
+            SELECT url, content_key, rank,
+                   max(CASE WHEN rank = 1 THEN url END)
+                     OVER (PARTITION BY content_key) AS keep_url,
+                   CASE WHEN rank = 1 THEN 'keep' ELSE 'delete' END AS action
+            FROM r
+        """,
+        "keep_best_policy": """
+            WITH r AS (
+              SELECT doc_id, doc_id % 97 AS cluster_id, n_chars,
+                     row_number() OVER (PARTITION BY doc_id % 97
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM documents
+            )
+            SELECT doc_id, cluster_id, rank,
+                   max(CASE WHEN rank = 1 THEN doc_id END)
+                     OVER (PARTITION BY cluster_id) AS keep_id,
+                   CASE WHEN rank = 1 THEN 'keep' ELSE 'delete' END AS action
+            FROM r
+        """,
+        "action_counts": """
+            WITH r AS (
+              SELECT row_number() OVER (PARTITION BY doc_id % 97
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM documents
+            )
+            SELECT CASE WHEN rank = 1 THEN 'keep' ELSE 'delete' END AS action,
+                   count(*) AS n
+            FROM r GROUP BY 1
+        """,
+        "lang_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars >= 200
+        """,
+        "exclusion_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE NOT regexp_matches(source, '^src1')
+        """,
+        "count_by_source": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "point_lookup": "SELECT * FROM documents WHERE doc_id = 421",
+        "metadata_match": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE lang = 'de' AND source = 'src3'
+        """,
+        "incremental_antijoin": """
+            SELECT doc_id, source, n_chars FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents i
+              WHERE i.doc_id % 7 != 0 AND i.doc_id = d.doc_id)
+        """,
+        "cleanup_orphans": """
+            SELECT doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents l
+              WHERE l.n_chars >= 50 AND l.doc_id = d.doc_id)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, {shingles} AS sh
+              FROM (SELECT doc_id, {_NT} AS nt FROM documents
+                    WHERE source = 'src0')
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+            FROM d a, d b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_MIN}
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, {shingles} AS sh
+              FROM (SELECT doc_id, {_NT} AS nt FROM documents
+                    WHERE source = 'src0')
+            ), e0 AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM d a, d b
+              WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_MIN}
+            ), e AS (
+              SELECT s, t FROM e0 UNION SELECT t, s FROM e0
+            ), reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM d
+              UNION
+              SELECT r.src, e.t FROM reach r JOIN e ON r.dst = e.s
+            )
+            SELECT src AS doc_id, min(dst) AS component
+            FROM reach GROUP BY src
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8
+            ), c AS (
+              SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+            ), s AS (
+              SELECT qid, nid,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC
+                     ) AS rank
+              FROM q, c WHERE qid != nid
+            )
+            SELECT qid AS query_id, rank, nid AS neighbor_id
+            FROM s WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 200
+            ), e AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+              FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END)::BIGINT AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop_en}'))::BIGINT AS n_stop
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+                   n_stop::DOUBLE / greatest(n_tokens, 1) AS stopword_ratio,
+                   n_chars::DOUBLE / greatest(n_tokens, 1) AS mean_token_len
+            FROM b
+        """,
+        "langid": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     {lang_score['en']} AS s_en, {lang_score['de']} AS s_de,
+                     {lang_score['fr']} AS s_fr, {lang_score['es']} AS s_es
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     ELSE 'es'
+                   END AS lang_pred
+            FROM s
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE list_reduce(
+                          list_prepend(0::BIGINT,
+                            list_transform(range(1, length(text) + 1),
+                              i -> unicode(substr(text, i::INT, 1))::BIGINT)),
+                          (acc, x) -> (acc * 31 + x) % 1000000007)
+                   END AS fp
+            FROM documents
+        """,
+        "sessionize_events": f"""
+            WITH o AS (
+              SELECT user_id, event_id, epoch(ts) AS ts_s,
+                     lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch(ts), event_id) AS prev_s
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   sum(CASE WHEN prev_s IS NULL THEN 1
+                            WHEN ts_s - prev_s > {SESSION_GAP_S} THEN 1
+                            ELSE 0 END)::BIGINT AS n_sessions
+            FROM o GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS sum_base_cents,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join": """
+            SELECT d.lang, e.label, count(*) AS n
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY d.lang, e.label
+        """,
+    }

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns.
+
+Generalizes the reference's "find_similar" retrieval surface
+(py_image_dedup/persistence/elasticsearchstorebackend.py:209-222) to dense
+vectors: given query rows and a corpus of `array<float>` embeddings, return
+cosine top-k neighbors.
+
+Two strategies:
+ * brute_force_topk — exact: query⨯corpus join, JVM-side cosine via
+   zip_with/aggregate (no Python), window top-k. Right when |queries| is
+   small or as the verification baseline. With a broadcast of the (small)
+   query side, the big corpus is scanned once, no shuffle of the corpus.
+ * lsh_topk — scale path: random-hyperplane signs bucket both sides;
+   candidates share a bucket in >=1 of `tables` hash tables; exact cosine
+   re-rank inside buckets. Trades recall for avoiding the full cross
+   product; recall is tested against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two array columns, computed in double, JVM-side."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, sim). Self-matches excluded.
+
+    The query side is broadcast (callers keep it small); ties broken by
+    neighbor id ascending for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, n_bits, dim))
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) — random-hyperplane sign buckets, one row per
+    hash table. Projection computed JVM-side: each bucket bit is
+    sign(dot(v, h)) with the hyperplane folded in as literal arrays."""
+    planes = _hyperplanes(dim, n_bits, tables, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(n_bits):
+            h = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with(v, h, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            bucket = bucket * 2 + (dot > 0).cast("long")
+        rows.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
+    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket join per table, dedupe candidates, exact
+    cosine re-rank. Shuffles on (table_id, bucket) — the scale-out key."""
+    qb = with_lsh_buckets(queries, dim, n_bits, tables, seed, id_col, vec_col)
+    cb = with_lsh_buckets(corpus, dim, n_bits, tables, seed, id_col, vec_col)
+    cand = (
+        qb.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            "table_id", "bucket",
+        )
+        .join(
+            cb.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                "table_id", "bucket",
+            ),
+            ["table_id", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= min_cosine (id_a < id_b). Exact; use
+    with_lsh_buckets pre-filter at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= F.lit(float(min_cosine)))
+        .select("id_a", "id_b", "sim")
+    )
