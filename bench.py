@@ -1,0 +1,122 @@
+"""Headline benchmark: end-to-end near-dup pipeline + representative
+queries. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <float>, ...extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores + shuffle partitions (default 32)
+  BENCH_GROUPS         override synthetic corpus group count
+
+The dedup corpus is the deterministic synthetic `pages` table
+(sources/pages.py, seed 42), sized by sf and cached on disk so repeated
+runs (and the local[8]-vs-local[32] scaling protocol in
+scripts/run_scaling.py) share identical input bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.plans.pipeline import run_dedup_pipeline
+from py_image_dedup_spark.session import build_session
+from py_image_dedup_spark.sources.pages import generate_pages
+
+BENCH_CACHE = os.environ.get("BENCH_CACHE", "/tmp/spark_graft_bench")
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
+    path = os.path.join(BENCH_CACHE, f"pages_v2_g{n_groups}_s{seed}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_pages(spark, n_groups, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_groups = int(os.environ.get("BENCH_GROUPS", str(max(200, int(500_000 * sf)))))
+
+    # generate the corpus (if missing) in a throwaway session so Python-
+    # worker / heap residue from generation can't pollute the timed run
+    corpus_path = os.path.join(
+        BENCH_CACHE, f"pages_v2_g{n_groups}_s42.parquet"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        gen = build_session(
+            app_name="bench-corpus-gen", master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+        gen.sparkContext.setLogLevel("ERROR")
+        ensure_corpus(gen, n_groups)
+        gen.stop()
+
+    spark = build_session(
+        app_name="py-image-dedup-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus_path)
+    n_docs = pages.count()
+
+    queries: dict[str, float] = {}
+    cfg = DedupConfig(max_dist=0.30, shuffle_partitions=cpus)
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=BENCH_CACHE)
+    t0 = time.time()
+    out = run_dedup_pipeline(spark, pages, cfg, ckpt, resume=False)
+    pipeline_s = time.time() - t0
+    queries["pipeline_e2e"] = round(pipeline_s, 3)
+    for r in out["metrics"].where("metric = 'seconds'").collect():
+        queries[f"stage_{r['stage']}"] = round(r["value"], 3)
+    n_actions = out["actions"].count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # representative driver-table queries at this sf
+    import __spark_entry__ as entrymod
+
+    for name in ("exact_dedup_actions", "ann_topk", "pricing_summary",
+                 "sessionize_events", "quality_scores"):
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()) - sum(
+        queries[k] for k in queries if k.startswith("stage_")
+    ), 3)  # stages are inside pipeline_e2e; don't double count
+    docs_per_sec = round(n_docs / pipeline_s, 1)
+
+    print(json.dumps({
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "dedup_docs": n_docs,
+        "dedup_actions": n_actions,
+        "dedup_docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

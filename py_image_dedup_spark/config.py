@@ -41,7 +41,11 @@ class DedupConfig:
 
     # --- similarity semantics (reference: config.py:98-106) ---
     max_dist: float = 0.10          # confirmed-duplicate cutoff: dist <= max_dist
-    shingle_k: int = 5              # char n-gram size
+    # char n-gram size. 10 chars ≈ 1.7 words: small enough that local edits
+    # stay local, big enough that natural-language Zipf words don't give
+    # unrelated docs a high background Jaccard (k=5 made the LSH band join
+    # candidate volume explode 60x — measured in BENCH/BASELINE.md).
+    shingle_k: int = 10
     num_hashes: int = 128           # MinHash signature length
     lsh_bands: int = 32             # b
     lsh_rows: int = 4               # r (b*r == num_hashes)

@@ -70,8 +70,11 @@ def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
     m = n - k + 1
     h = np.zeros(m, dtype=np.uint64)
     for j in range(k):  # k vectorized passes, O(k*n) total
-        h = h * _POLY_B + data[j : j + m]
-    return _mix64(h)
+        np.multiply(h, _POLY_B, out=h)
+        np.add(h, data[j : j + m], out=h)
+    # dedupe: min over a set == min over the multiset, and boilerplate-heavy
+    # docs shrink a lot — one sort here saves num_hashes passes downstream
+    return np.unique(_mix64(h))
 
 
 def make_minhash_udf(cfg: DedupConfig) -> Callable:
@@ -88,18 +91,56 @@ def make_minhash_udf(cfg: DedupConfig) -> Callable:
                 yield pd.Series([], dtype=object)
                 continue
             per_doc = [shingle_hashes_u64(t, k) for t in vals]
-            lens = np.fromiter((x.shape[0] for x in per_doc), dtype=np.int64)
-            starts = np.zeros(len(per_doc), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            big = np.concatenate(per_doc)
-            sigs = np.empty((num_hashes, len(per_doc)), dtype=np.uint64)
-            for i in range(num_hashes):
-                v = a[i] * big + b[i]  # uint64 wraparound == mod 2^64
-                sigs[i] = np.minimum.reduceat(v, starts)
+            sigs = _minhash_from_hashes(per_doc, a, b, num_hashes)
             out = sigs.T.astype(np.int64)  # reinterpret-with-wrap for LongType
             yield pd.Series(list(out))
 
     return minhash_sig
+
+
+# L2-resident chunk: permutations re-read the chunk from cache instead of
+# streaming the full shingle array from DRAM 128 times. This box (like most
+# oversubscribed multi-tenant hosts) is memory-bandwidth-starved under
+# 32-way parallelism; cache blocking keeps the kernel compute-bound so it
+# scales with cores (the north_rule N->4N efficiency criterion).
+_CHUNK = 1 << 15  # 32k uint64 = 256 KiB
+
+
+def _minhash_from_hashes(
+    per_doc: list[np.ndarray], a: np.ndarray, b: np.ndarray, num_hashes: int
+) -> np.ndarray:
+    """(num_hashes, ndocs) uint64 signature matrix from per-doc shingle
+    hash arrays. Cache-blocked over the concatenated hash stream."""
+    ndocs = len(per_doc)
+    lens = np.fromiter((x.shape[0] for x in per_doc), dtype=np.int64)
+    bounds = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    big = np.concatenate(per_doc)
+    n = big.shape[0]
+    sigs = np.full((num_hashes, ndocs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    v = np.empty(min(_CHUNK, n), dtype=np.uint64)
+    lo_doc = 0
+    for c0 in range(0, n, _CHUNK):
+        c1 = min(c0 + _CHUNK, n)
+        chunk = big[c0:c1]
+        cv = v[: c1 - c0]
+        # docs overlapping [c0, c1)
+        while bounds[lo_doc + 1] <= c0:
+            lo_doc += 1
+        hi_doc = lo_doc
+        while hi_doc < ndocs and bounds[hi_doc] < c1:
+            hi_doc += 1
+        # reduceat boundaries local to the chunk
+        starts = np.maximum(bounds[lo_doc:hi_doc] - c0, 0)
+        seg = slice(lo_doc, hi_doc)
+        for i in range(num_hashes):
+            np.multiply(chunk, a[i], out=cv)  # uint64 wrap == mod 2^64
+            np.add(cv, b[i], out=cv)
+            np.minimum(
+                sigs[i, seg], np.minimum.reduceat(cv, starts), out=sigs[i, seg]
+            )
+        lo_doc = hi_doc - 1
+    return sigs
 
 
 def minhash_udf(cfg: DedupConfig | None = None) -> Callable:

@@ -11,7 +11,7 @@ window. No UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from py_image_dedup_spark.config import DedupConfig
@@ -52,13 +52,18 @@ def exact_duplicate_actions(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
 def exact_unique_representatives(pages_hashed: DataFrame) -> DataFrame:
     """One representative row per distinct content_hash (min url — stable).
 
+    Implemented as groupBy + min_by rather than a row_number window: the
+    aggregation gets map-side partial combine (duplicate texts usually
+    co-reside in input partitions — crawler output is grouped by site), so
+    most duplicate-text bytes never hit the shuffle. A window would sort
+    the full table through one shuffle with no partial reduction.
+
     Scale note: this is what enters the MinHash/LSH stage; the near-dup
-    verdict of a representative is fanned back out to its exact-dup peers by
-    a join on content_hash.
+    verdict of a representative is fanned back out to its exact-dup peers
+    by a join on content_hash.
     """
-    w = Window.partitionBy("content_hash").orderBy("url")
-    return (
-        pages_hashed.withColumn("_rep_rank", F.row_number().over(w))
-        .where(F.col("_rep_rank") == 1)
-        .drop("_rep_rank")
+    others = [c for c in pages_hashed.columns if c != "content_hash"]
+    picked = pages_hashed.groupBy("content_hash").agg(
+        F.min_by(F.struct(*others), F.col("url")).alias("_rep")
     )
+    return picked.select("content_hash", *[F.col(f"_rep.{c}").alias(c) for c in others])

@@ -85,7 +85,12 @@ def run_dedup_pipeline(
     metrics: list[dict] = []
     p = lambda s: os.path.join(checkpoint_dir, s)  # noqa: E731
 
-    hashed_full = with_content_hash(pages)
+    # normalized+hashed projection feeds two stages; cache it (deserialized
+    # columnar in memory, spills to disk) instead of recomputing the regex
+    # normalization + sha2 per consumer
+    hashed_full = with_content_hash(pages).select(
+        "url", "warc_ts", "content_hash", "n_bytes", "n_chars", "norm_text"
+    ).persist()
 
     pages_meta = _checkpointed(
         spark, p("pages_meta"), resume,
@@ -163,6 +168,7 @@ def run_dedup_pipeline(
         spark, p("actions"), resume, build_actions, metrics, "actions"
     )
 
+    hashed_full.unpersist()
     metrics_df = spark.createDataFrame(
         [(m["stage"], m["metric"], m["value"]) for m in metrics],
         "stage string, metric string, value double",

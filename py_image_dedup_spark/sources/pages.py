@@ -35,15 +35,33 @@ PAGES_SCHEMA = (
     "html binary, text string, lang string"
 )
 
-_VOCAB = np.array(
-    (
-        "the data spark query table scan filter join group sort merge hash "
-        "window stream batch row column value key order line part customer "
-        "small fast slow agg vector page crawl text token shard index store "
-        "cache block delta prime graph node edge label round robin score "
-        "band bucket salt probe claim"
-    ).split()
-)
+def _build_vocab(size: int = 4096, seed: int = 12345) -> np.ndarray:
+    """Deterministic pseudo-word vocabulary. Web-scale realism matters:
+    with a tiny vocabulary, *unrelated* documents share shingles (background
+    Jaccard ~0.25) and the LSH band join degenerates into a near-cross
+    product; a few thousand Zipf-sampled words gives Common-Crawl-like
+    background similarity (~0)."""
+    rng = np.random.default_rng(seed)
+    cons = np.array(list("bcdfghjklmnpqrstvwz"))
+    vow = np.array(list("aeiou"))
+    n_syll = rng.integers(2, 5, size=size)
+    words = []
+    for ns in n_syll:
+        w = "".join(
+            rng.choice(cons) + rng.choice(vow) for _ in range(int(ns))
+        )
+        words.append(w)
+    return np.array(words)
+
+
+_VOCAB = _build_vocab()
+# Zipf-ish sampling weights (rank-frequency law like natural language)
+_VOCAB_P = 1.0 / (np.arange(len(_VOCAB)) + 2.7)
+_VOCAB_P /= _VOCAB_P.sum()
+
+
+def _sample_words(rng: np.random.Generator, n: int) -> np.ndarray:
+    return _VOCAB[rng.choice(len(_VOCAB), size=n, p=_VOCAB_P)]
 
 _BASE_TS = pd.Timestamp("2024-01-01 00:00:00")
 
@@ -75,7 +93,7 @@ def _html(gid: int, text: str) -> bytes:
 def _group_rows(gid: int, seed: int) -> list[dict]:
     rng = np.random.default_rng([seed, gid])
     n_words = int(rng.integers(80, 700))
-    words = _VOCAB[rng.integers(0, len(_VOCAB), n_words)]
+    words = _sample_words(rng, n_words)
     base = _render(words)
     site = f"https://site{gid % 100}.example/{gid}"
 

@@ -36,11 +36,14 @@ def brute_jaccard(a: str, b: str, k: int) -> float:
 
 
 def test_shingle_hash_deterministic():
-    h1 = shingle_hashes_u64("hello world, this is a test", 5)
-    h2 = shingle_hashes_u64("hello world, this is a test", 5)
+    text = "hello world, this is a test"
+    h1 = shingle_hashes_u64(text, 5)
+    h2 = shingle_hashes_u64(text, 5)
     assert np.array_equal(h1, h2)
     assert h1.dtype == np.uint64
-    assert h1.shape[0] == len("hello world, this is a test") - 4
+    # output is the deduped shingle-hash set
+    n_unique = len({text[i : i + 5] for i in range(len(text) - 4)})
+    assert h1.shape[0] == n_unique
 
 
 def test_shingle_hash_short_and_empty():
