@@ -92,8 +92,11 @@ def main() -> None:
     # representative driver-table queries at this sf
     import __spark_entry__ as entrymod
 
-    for name in ("exact_dedup_actions", "ann_topk", "pricing_summary",
-                 "sessionize_events", "quality_scores"):
+    extra_queries = () if os.environ.get("BENCH_PIPELINE_ONLY") else (
+        "exact_dedup_actions", "ann_topk", "pricing_summary",
+        "sessionize_events", "quality_scores",
+    )
+    for name in extra_queries:
         fn = entrymod.queries()[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -40,6 +40,10 @@ class DedupConfig:
     """All tunables for one dedup run. Frozen → safe to close over in UDFs."""
 
     # --- similarity semantics (reference: config.py:98-106) ---
+    # candidate/verify strategy: "minhash" (MinHash+LSH bands),
+    # "simhash" (64-bit fingerprint + bit-block banding),
+    # "substring" (sampled substring-containment fingerprints)
+    mode: str = "minhash"
     max_dist: float = 0.10          # confirmed-duplicate cutoff: dist <= max_dist
     # char n-gram size. 10 chars ≈ 1.7 words: small enough that local edits
     # stay local, big enough that natural-language Zipf words don't give

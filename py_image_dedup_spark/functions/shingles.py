@@ -37,17 +37,24 @@ def shingle_set_jaccard(a: Column, b: Column) -> Column:
 
 
 def substring_keys(col: Column | str, length: int, stride: int) -> Column:
-    """Sampled substring fingerprints: xxhash64 of each `length`-char window
-    at `stride` spacing. array<long>; shared key => substring-containment
-    candidate. Windowing is deterministic so a contained block aligns on the
-    stride grid of both docs only probabilistically — stride <= length/2
-    guarantees >= 1 fully-contained window for any containment >= 2*length.
+    """Content-defined substring fingerprints (winnowing-style mod-p
+    sampling): hash EVERY `length`-char window, keep windows whose hash
+    ≡ 0 (mod `stride`) — expected 1-in-`stride` sampled, and the sampled
+    positions are determined by CONTENT, so they survive the position
+    shifts that insertions/deletions cause (a fixed-stride grid would lose
+    alignment after the first edit). Shared key => containment candidate.
+
+    Docs too short to sample anything fall back to one whole-text key.
     """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
-    positions = F.sequence(
-        F.lit(1), F.greatest(n - F.lit(length - 1), F.lit(1)), F.lit(stride)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(length - 1), F.lit(1))),
+        lambda i: F.xxhash64(c.substr(i, F.lit(length))),
     )
-    return F.array_distinct(
-        F.transform(positions, lambda i: F.xxhash64(c.substr(i, F.lit(length))))
+    sampled = F.array_distinct(
+        F.filter(grams, lambda h: F.pmod(h, F.lit(stride)) == 0)
+    )
+    return F.when(F.size(sampled) > 0, sampled).otherwise(
+        F.array(F.xxhash64(c))
     )

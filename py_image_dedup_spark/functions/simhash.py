@@ -35,7 +35,11 @@ def make_simhash_udf(cfg: DedupConfig) -> Callable:
                 bits = np.unpackbits(
                     h.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
                 )
-                votes = bits.sum(axis=0) * 2 - h.shape[0]  # (+1/-1 sums)
+                # signed accumulation: uint8.sum() promotes to uint64 and
+                # `*2 - n` would wrap — every vote would look positive
+                votes = bits.sum(axis=0, dtype=np.int64) * 2 - np.int64(
+                    h.shape[0]
+                )
                 fp = np.uint64(0)
                 for bit in np.nonzero(votes > 0)[0]:
                     fp |= np.uint64(1) << np.uint64(63 - bit)
@@ -59,15 +63,24 @@ def simhash_blocks(col: Column, n_blocks: int) -> Column:
 
     Returns array<struct<band_id:int, band_hash:long>>. By pigeonhole, two
     fingerprints within Hamming distance (n_blocks - 1) share >= 1 block.
+    Widths are distributed as evenly as possible when n_blocks doesn't
+    divide 64 (first `64 % n_blocks` blocks get the extra bit).
     """
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
-    return F.array(
-        *[
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+    base, extra = divmod(64, n_blocks)
+    parts = []
+    offset = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        parts.append(
             F.struct(
                 F.lit(i).alias("band_id"),
-                F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit(mask)).alias("band_hash"),
+                F.shiftrightunsigned(col, offset)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_hash"),
             )
-            for i in range(n_blocks)
-        ]
-    )
+        )
+        offset += width
+    return F.array(*parts)

@@ -1,0 +1,150 @@
+"""Candidate-pair strategies behind one interface (SURVEY.md §7 step 7).
+
+Each mode maps (url, norm_text) -> verified pairs (url_a, url_b, dist,
+score) under the shared contract `dist <= cfg.max_dist`:
+
+  minhash    dist = 1 − est. Jaccard (fraction of agreeing sig positions)
+  simhash    dist = Hamming(fp_a, fp_b) / simhash_bits
+  substring  dist = 1 − containment (shared keys / min(|keys|)) — catches
+             long verbatim blocks embedded in otherwise-different pages,
+             which Jaccard dilutes away
+
+All three share the same physical shape: signature column -> band/bucket
+explode -> equi-self-join -> aggregate score -> verify. That keeps the
+pipeline's scale levers (hot-bucket cap, AQE skew join, pair dedupe in the
+scoring aggregation) identical across modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.shingles import substring_keys
+from py_image_dedup_spark.functions.simhash import (
+    hamming_col,
+    make_simhash_udf,
+    simhash_blocks,
+)
+from py_image_dedup_spark.operators import lsh as _minhash
+
+
+def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Shared band/bucket self-join with hot-bucket exclusion; returns
+    (url_a, url_b, score = #shared buckets)."""
+    hot = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > cfg.bucket_cap)
+    )
+    capped = bands.join(
+        F.broadcast(hot.select("band_id", "band_hash")),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.count("*").cast("double").alias("score"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return _minhash.compute_signatures(pages_norm, cfg)
+
+
+def minhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    bands = _minhash.explode_bands(signatures, cfg)
+    pairs = _capped_self_join(bands, cfg)
+    return _minhash.verify_pairs(pairs, signatures, cfg)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_signatures(pages_norm: DataFrame, cfg: DedupConfig,
+                       text_col: str = "norm_text") -> DataFrame:
+    udf = make_simhash_udf(cfg)
+    return pages_norm.withColumn("simhash", udf(F.col(text_col)))
+
+
+def simhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    n_blocks = cfg.hamming_cutoff + 1  # pigeonhole guarantee
+    bands = signatures.select(
+        "url",
+        F.explode(simhash_blocks(F.col("simhash"), n_blocks)).alias("b"),
+    ).select("url", "b.band_id", "b.band_hash")
+    pairs = _capped_self_join(bands, cfg)
+    sh = signatures.select("url", "simhash")
+    joined = (
+        pairs.join(
+            sh.select(F.col("url").alias("url_a"), F.col("simhash").alias("h_a")),
+            "url_a",
+        ).join(
+            sh.select(F.col("url").alias("url_b"), F.col("simhash").alias("h_b")),
+            "url_b",
+        )
+    )
+    dist = hamming_col(F.col("h_a"), F.col("h_b")) / F.lit(float(cfg.simhash_bits))
+    return (
+        joined.withColumn("dist", dist)
+        .where(F.col("dist") <= F.lit(float(cfg.max_dist)))
+        .select("url_a", "url_b", "dist", "score")
+    )
+
+
+# -------------------------------------------------------------- substring
+
+def substring_signatures(pages_norm: DataFrame, cfg: DedupConfig,
+                         text_col: str = "norm_text") -> DataFrame:
+    return pages_norm.withColumn(
+        "sub_keys",
+        substring_keys(F.col(text_col), cfg.substring_len, cfg.substring_stride),
+    )
+
+
+def substring_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    bands = signatures.select(
+        "url", F.posexplode("sub_keys").alias("band_id", "band_hash")
+    ).withColumn("band_id", F.lit(0))  # key identity is the bucket
+    pairs = _capped_self_join(bands, cfg)
+    sizes = signatures.select("url", F.size("sub_keys").alias("nk"))
+    joined = (
+        pairs.join(sizes.select(F.col("url").alias("url_a"),
+                                F.col("nk").alias("nk_a")), "url_a")
+        .join(sizes.select(F.col("url").alias("url_b"),
+                           F.col("nk").alias("nk_b")), "url_b")
+    )
+    containment = F.col("score") / F.least(F.col("nk_a"), F.col("nk_b"))
+    return (
+        joined.withColumn("dist", F.lit(1.0) - containment)
+        .where(
+            (F.col("dist") <= F.lit(float(cfg.max_dist)))
+            & (F.col("score") >= cfg.min_shared_keys)
+        )
+        .select("url_a", "url_b", "dist", "score")
+    )
+
+
+MODES = {
+    "minhash": (minhash_signatures, minhash_pairs),
+    "simhash": (simhash_signatures, simhash_pairs),
+    "substring": (substring_signatures, substring_pairs),
+}
+
+
+def signature_stage(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
+    if cfg.mode not in MODES:
+        raise ValueError(f"unknown mode {cfg.mode!r}; one of {sorted(MODES)}")
+    return MODES[cfg.mode][0](pages_norm, cfg)
+
+
+def pairs_stage(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    if cfg.mode not in MODES:
+        raise ValueError(f"unknown mode {cfg.mode!r}; one of {sorted(MODES)}")
+    return MODES[cfg.mode][1](signatures, cfg)

@@ -33,13 +33,7 @@ from py_image_dedup_spark.operators.exact import (
     exact_unique_representatives,
     with_content_hash,
 )
-from py_image_dedup_spark.operators.lsh import (
-    candidate_pairs,
-    compute_signatures,
-    explode_bands,
-    hot_buckets,
-    verify_pairs,
-)
+from py_image_dedup_spark.operators.modes import pairs_stage, signature_stage
 from py_image_dedup_spark.operators.select import select_keepers
 
 
@@ -100,23 +94,19 @@ def run_dedup_pipeline(
         metrics, "pages_meta",
     )
 
+    def build_signatures() -> DataFrame:
+        sigs = signature_stage(exact_unique_representatives(hashed_full), cfg)
+        return sigs.drop("norm_text", "warc_ts", "n_bytes", "n_chars")
+
     signatures = _checkpointed(
-        spark, p("signatures"), resume,
-        lambda: compute_signatures(
-            exact_unique_representatives(hashed_full), cfg
-        ).select("url", "content_hash", "sig"),
-        metrics, "signatures",
+        spark, p("signatures"), resume, build_signatures, metrics, "signatures"
     )
 
-    def build_pairs() -> DataFrame:
-        bands = explode_bands(signatures, cfg)
-        hot = hot_buckets(bands, cfg).cache()
-        n_hot = hot.count()
-        metrics.append({"stage": "pairs", "metric": "hot_buckets", "value": float(n_hot)})
-        pairs = candidate_pairs(bands, cfg, hot=hot)
-        return verify_pairs(pairs, signatures, cfg)
-
-    pairs = _checkpointed(spark, p("pairs"), resume, build_pairs, metrics, "pairs")
+    pairs = _checkpointed(
+        spark, p("pairs"), resume,
+        lambda: pairs_stage(signatures, cfg),
+        metrics, "pairs",
+    )
 
     def build_clusters() -> DataFrame:
         rep_clusters = connected_components(

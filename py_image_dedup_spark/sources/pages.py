@@ -61,7 +61,13 @@ _VOCAB_P /= _VOCAB_P.sum()
 
 
 def _sample_words(rng: np.random.Generator, n: int) -> np.ndarray:
-    return _VOCAB[rng.choice(len(_VOCAB), size=n, p=_VOCAB_P)]
+    """Zipf-sampled words over a document-specific topic permutation of the
+    vocabulary. Without the permutation every doc draws from ONE global
+    distribution and SimHash (a distributional fingerprint) collapses all
+    docs to within a few Hamming bits — real pages differ in topic mixture,
+    which the permutation emulates."""
+    perm = rng.permutation(len(_VOCAB))
+    return _VOCAB[perm[rng.choice(len(_VOCAB), size=n, p=_VOCAB_P)]]
 
 _BASE_TS = pd.Timestamp("2024-01-01 00:00:00")
 

@@ -1,0 +1,88 @@
+"""SimHash and substring-containment pipeline modes end-to-end on the
+golden corpus (same cluster/keeper expectations as MinHash where the mode's
+semantics support the variant)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.plans.pipeline import run_dedup_pipeline
+from py_image_dedup_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, 20, seed=21).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _clusters(spark, pages, cfg, tmp_path):
+    out = run_dedup_pipeline(spark, pages, cfg, str(tmp_path), resume=False)
+    joined = out["actions"].join(
+        pages.select("url", "group_id", "variant"), "url"
+    )
+    return joined.cache()
+
+
+def test_simhash_mode_pipeline(spark, pages, tmp_path):
+    cfg = DedupConfig(mode="simhash", max_dist=0.1)
+    acts = _clusters(spark, pages, cfg, tmp_path / "sh")
+    # identical-normalized variants (original/casews/copy) + edited must
+    # share a cluster; keeper must be the original
+    core = acts.where(
+        F.col("variant").isin("original", "edited", "casews", "copy")
+    )
+    split = (
+        core.groupBy("group_id")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .where("n != 1")
+        .count()
+    )
+    assert split == 0
+    keepers = acts.where("action = 'keep'")
+    assert keepers.where(
+        (F.col("group_id") % 2 == 0) & (~F.col("variant").isin("original", "trunc"))
+    ).count() == 0
+    # no cross-group merges
+    assert (
+        acts.groupBy("cluster_id")
+        .agg(F.countDistinct("group_id").alias("n"))
+        .where("n != 1")
+        .count()
+        == 0
+    )
+
+
+def test_substring_mode_pipeline(spark, pages, tmp_path):
+    cfg = DedupConfig(mode="substring", max_dist=0.30)
+    acts = _clusters(spark, pages, cfg, tmp_path / "ss")
+    # containment catches all variants incl. trunc (prefix-aligned windows)
+    split = (
+        acts.where(F.col("group_id") % 2 == 0)
+        .groupBy("group_id")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .where("n != 1")
+        .count()
+    )
+    assert split == 0
+    assert (
+        acts.groupBy("cluster_id")
+        .agg(F.countDistinct("group_id").alias("n"))
+        .where("n != 1")
+        .count()
+        == 0
+    )
+    keepers = acts.where("action = 'keep'")
+    assert keepers.where(
+        (F.col("group_id") % 2 == 0) & (F.col("variant") != "original")
+    ).count() == 0
+
+
+def test_unknown_mode_rejected(spark, pages, tmp_path):
+    cfg = DedupConfig(mode="nope")
+    with pytest.raises(ValueError, match="unknown mode"):
+        run_dedup_pipeline(spark, pages, cfg, str(tmp_path / "x"), resume=False)

@@ -1,0 +1,226 @@
+"""Similarity search, components, simhash, substring mode, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.shingles import substring_keys
+from py_image_dedup_spark.functions.simhash import (
+    hamming_col,
+    make_simhash_udf,
+    simhash_blocks,
+)
+from py_image_dedup_spark.functions.textstats import (
+    fingerprint_col,
+    langid_col,
+    token_count_col,
+)
+from py_image_dedup_spark.operators.components import connected_components
+from py_image_dedup_spark.operators.multimodal import image_features, sample_frames
+from py_image_dedup_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+
+
+# ------------------------------------------------------------- components
+
+def test_cc_basic_chain_and_singletons(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "url_a string, url_b string"
+    )
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("lone",)], "url string"
+    )
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "lone": "lone"
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    n = 24
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+        "url_a string, url_b string",
+    )
+    got = connected_components(edges)
+    assert got.select("cluster_id").distinct().count() == 1
+    assert got.count() == n + 1
+
+
+# --------------------------------------------------------------- simhash
+
+def test_simhash_identical_and_divergent(spark):
+    cfg = DedupConfig()
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [("a", base), ("b", base), ("c", "zebra xylophone quartz " * 30)]
+    df = spark.createDataFrame(rows, "url string, norm_text string")
+    sh = df.withColumn("h", make_simhash_udf(cfg)(F.col("norm_text")))
+    vals = {r["url"]: r["h"] for r in sh.collect()}
+    assert vals["a"] == vals["b"]
+    df2 = spark.createDataFrame(
+        [(vals["a"], vals["c"])], "x long, y long"
+    ).select(hamming_col(F.col("x"), F.col("y")).alias("d"))
+    assert df2.first()["d"] > 7  # unrelated texts far apart
+
+
+def test_simhash_blocks_pigeonhole(spark):
+    df = spark.createDataFrame([(0x0123456789ABCDEF,)], "h long")
+    rows = df.select(
+        F.explode(simhash_blocks(F.col("h"), 8)).alias("b")
+    ).select("b.band_id", "b.band_hash").collect()
+    assert len(rows) == 8
+    got = {r["band_id"]: r["band_hash"] for r in rows}
+    assert got[0] == 0xEF and got[7] == 0x01
+
+
+# ------------------------------------------------------------- substring
+
+def test_substring_keys_detect_containment(spark):
+    import random
+
+    rng = random.Random(4)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    base = "".join(rng.choice(alpha) for _ in range(600))
+    contained = base[87:517]  # 430-char embedded block, arbitrary offset
+    other = "".join(rng.choice(alpha) for _ in range(600))
+    df = spark.createDataFrame(
+        [("base", base), ("sub", contained), ("other", other)],
+        "url string, t string",
+    )
+    keys = df.select(
+        "url", substring_keys("t", length=50, stride=8).alias("k")
+    )
+    vals = {r["url"]: set(r["k"]) for r in keys.collect()}
+    assert vals["base"] & vals["sub"], "contained block must share a key"
+    assert not (vals["base"] & vals["other"])
+    # content-defined sampling: keys of the contained block are a subset of
+    # the container's keys except near the cut boundaries
+    assert len(vals["sub"] - vals["base"]) <= 2
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+        if i < 5:  # planted near-dup: scaled copy
+            rows.append((1000 + i, [float(2.0 * x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df
+
+
+def test_brute_force_topk_finds_planted_twin(emb, spark):
+    res = brute_force_topk(emb.where("vec_id < 5"), emb, k=3)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in res.where("rank = 1").collect()
+    }
+    assert top1 == {i: 1000 + i for i in range(5)}
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb, spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb.where("vec_id < 5"), emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            emb.where("vec_id < 5"), emb, k=3, dim=16, n_bits=4, tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6
+    # the planted twin shares every bucket (same hyperplane signs) — must hit
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_topk(
+            emb.where("vec_id < 5"), emb, k=3, dim=16, n_bits=4, tables=8
+        ).where("rank = 1").collect()
+    }
+    assert top1 == {i: 1000 + i for i in range(5)}
+
+
+def test_embedding_neardup_pairs(emb, spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.999).collect()
+    }
+    assert got == {(i, 1000 + i) for i in range(5)}
+
+
+# ------------------------------------------------------------- textstats
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), (" pad  both  ",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(token_count_col("t")).collect()]
+    assert got == [0, 0, 1, 2, 2]
+
+
+def test_langid_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("der hund ist nicht mit der katze",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(langid_col("text")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_fingerprint_matches_python(spark):
+    text = "Hello, world!"
+    expected = 0
+    for ch in text:
+        expected = (expected * 31 + ord(ch)) % 1_000_000_007
+    df = spark.createDataFrame([(text,), ("",)], "t string")
+    got = [r[0] for r in df.select(fingerprint_col("t")).collect()]
+    assert got == [expected, 0]
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_image_features_stub_plumbing(spark):
+    rows = [("u1", b"payload-one"), ("u2", b"payload-two"), ("u3", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in image_features(df, fake=True).collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"]["phash"] != got["u2"]["phash"]  # payload-dependent
+    assert got["u3"]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["url"]: r["phash"] for r in image_features(df, fake=True).collect()}
+    assert again == {u: r["phash"] for u, r in got.items()}
+
+
+def test_image_features_real_decode_raises(spark):
+    df = spark.createDataFrame([("u", b"x")], "url string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        image_features(df, fake=False).collect()
+
+
+def test_sample_frames_fanout(spark):
+    df = spark.createDataFrame([("v1", b"vid")], "url string, payload binary")
+    got = sample_frames(df, every_nth=5, n_frames=3, fake=True).collect()
+    assert [(r["url"], r["frame_idx"]) for r in got] == [
+        ("v1", 0), ("v1", 5), ("v1", 10)
+    ]
