@@ -363,6 +363,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment mode: content-defined (winnowing-style)
+    sampled keys; pairs where the smaller doc's sampled windows are mostly
+    contained in the other doc."""
+    from py_image_dedup_spark.operators.modes import (
+        substring_pairs,
+        substring_signatures,
+    )
+
+    cfg = DedupConfig(mode="substring", max_dist=0.5)
+    d = _docs(spark, sf_dir).select("url", "norm_text")
+    sigs = substring_signatures(d, cfg)
+    return substring_pairs(sigs, cfg)
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (random-hyperplane LSH buckets + exact re-rank)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -404,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (iterative / UDF-hash operators)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
 

@@ -1,0 +1,99 @@
+"""spark-submit entry point for the dedup pipeline.
+
+Cluster usage (north_rule packaging):
+
+    python scripts/build_pyfiles.py          # -> dist/py_image_dedup_spark.zip
+    spark-submit --py-files dist/py_image_dedup_spark.zip \\
+        jobs/dedup_job.py \\
+        --input  s3://bucket/pages_iceberg_or_parquet \\
+        --output s3://bucket/dedup_ckpt \\
+        --mode minhash --max-dist 0.1
+
+Local smoke:
+
+    python jobs/dedup_job.py --synthetic-groups 1000 --output /tmp/ckpt
+
+Each stage commits to <output>/<stage>; re-running with --resume skips
+completed stages (the Iceberg-checkpoint resume seam, SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from py_image_dedup_spark.config import DedupConfig, DEFAULT_RULES
+from py_image_dedup_spark.plans.pipeline import run_dedup_pipeline
+from py_image_dedup_spark.session import build_session
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="pages table path (parquet/Iceberg dir)")
+    p.add_argument("--synthetic-groups", type=int, default=0,
+                   help="generate a synthetic corpus instead of --input")
+    p.add_argument("--output", required=True, help="checkpoint/output dir")
+    p.add_argument("--mode", default="minhash",
+                   choices=["minhash", "simhash", "substring"])
+    p.add_argument("--max-dist", type=float, default=0.10)
+    p.add_argument("--shingle-k", type=int, default=10)
+    p.add_argument("--num-hashes", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--bucket-cap", type=int, default=1000)
+    p.add_argument("--rules", default=",".join(DEFAULT_RULES),
+                   help="comma-separated prioritization rules")
+    p.add_argument("--max-ts-delta-s", type=float, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    if not args.input and not args.synthetic_groups:
+        print("error: need --input or --synthetic-groups", file=sys.stderr)
+        return 2
+    cfg = DedupConfig(
+        mode=args.mode,
+        max_dist=args.max_dist,
+        shingle_k=args.shingle_k,
+        num_hashes=args.num_hashes,
+        lsh_bands=args.bands,
+        lsh_rows=args.rows,
+        bucket_cap=args.bucket_cap,
+        prioritization_rules=tuple(r for r in args.rules.split(",") if r),
+        max_ts_delta_s=args.max_ts_delta_s,
+        dry_run=args.dry_run,
+    )
+    spark = build_session(
+        app_name=f"dedup-{args.mode}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    if args.synthetic_groups:
+        from py_image_dedup_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, args.synthetic_groups)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    out = run_dedup_pipeline(spark, pages, cfg, args.output, resume=args.resume)
+    summary = {
+        r["action"]: r["count"]
+        for r in out["actions"].groupBy("action").count().collect()
+    }
+    print(f"actions summary: {summary}")
+    out["metrics"].orderBy("stage", "metric").show(50, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
