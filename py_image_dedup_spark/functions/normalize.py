@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import MapType, StringType
 
 # The fixture corpus wraps text as:
 #   <html><head>...</head><body>{text}</body></html>
@@ -47,6 +47,44 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
         if not m:
             return ""
         return _unescape(m.group(1).decode("utf-8"))
+
+    return html.map(one)
+
+
+_META_RE = re.compile(
+    rb'<meta\s+(?:name|property)="([^"]+)"\s+content="([^"]*)"', re.IGNORECASE
+)
+_TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.DOTALL)
+_CHARSET_RE = re.compile(rb'<meta\s+charset="([^"]+)"', re.IGNORECASE)
+
+
+@pandas_udf(MapType(StringType(), StringType()))
+def extract_meta_udf(html: pd.Series) -> pd.Series:
+    """html binary -> map<string,string> of head metadata.
+
+    The EXIF-extraction analog (py_image_dedup/util/image.py:5-26 +
+    normalization persistence/__init__.py:83-105): <meta name/property>
+    pairs plus title and charset, all values normalized to strings, errors
+    -> empty map. Feeds the more-meta / less-meta policy rules.
+    """
+
+    def one(b) -> dict | None:
+        if b is None:
+            return {}
+        try:
+            raw = bytes(b)
+            out: dict[str, str] = {}
+            for k, v in _META_RE.findall(raw):
+                out[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
+            m = _TITLE_RE.search(raw)
+            if m:
+                out["title"] = m.group(1).decode("utf-8", "replace")
+            m = _CHARSET_RE.search(raw)
+            if m:
+                out["charset"] = m.group(1).decode("utf-8", "replace")
+            return out
+        except Exception:  # noqa: BLE001 — parse errors -> {} like the ref
+            return {}
 
     return html.map(one)
 
