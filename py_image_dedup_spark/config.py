@@ -77,9 +77,15 @@ class DedupConfig:
 
     # --- scale controls ---
     # Max rows a single LSH bucket may contribute pairs from. Buckets larger
-    # than this are Zipfian boilerplate at web scale; they get salted-split
-    # capped sampling and are reported in metrics instead of exploding n^2.
+    # than this are Zipfian boilerplate at web scale (the exact-dup pre-pass
+    # has already removed identical text); they are excluded from pair
+    # generation and surfaced via metrics.
     bucket_cap: int = 1000
+    # Buckets in (salt_threshold, bucket_cap] still produce O(s^2) pairs but
+    # would do so inside ONE task; they get salted so the work spreads over
+    # n_salts partitions (A-side salted by url hash, B-side replicated).
+    salt_threshold: int = 64
+    n_salts: int = 16
     shuffle_partitions: int = 32
     dry_run: bool = False
 

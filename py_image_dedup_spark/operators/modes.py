@@ -31,23 +31,62 @@ from py_image_dedup_spark.operators import lsh as _minhash
 
 
 def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Shared band/bucket self-join with hot-bucket exclusion; returns
-    (url_a, url_b, score = #shared buckets)."""
-    hot = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("bucket_size"))
-        .where(F.col("bucket_size") > cfg.bucket_cap)
+    """Shared band/bucket self-join with skew handling; returns
+    (url_a, url_b, score = #shared buckets).
+
+    Three bucket tiers (north_rule "salted repartitioning for hot LSH
+    buckets, skew-aware band-key aggregation"):
+      size <= salt_threshold   plain equi-self-join
+      size <= bucket_cap       SALTED: A-side keyed by hash(url) % n_salts,
+                               B-side replicated to every salt, join on
+                               (band, salt) — each pair produced exactly
+                               once, O(s^2) work spread over n_salts tasks
+      size >  bucket_cap       excluded (boilerplate; reported via
+                               hot-bucket metrics), AQE skew-join mops up
+                               residual imbalance
+    """
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
     )
-    capped = bands.join(
+    hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
+    warm = sizes.where(
+        (F.col("bucket_size") > cfg.salt_threshold)
+        & (F.col("bucket_size") <= cfg.bucket_cap)
+    )
+    live = bands.join(
         F.broadcast(hot.select("band_id", "band_hash")),
         ["band_id", "band_hash"],
         "left_anti",
     )
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
+    warm_keys = F.broadcast(warm.select("band_id", "band_hash"))
+    cool = live.join(warm_keys, ["band_id", "band_hash"], "left_anti")
+    warm_rows = live.join(warm_keys, ["band_id", "band_hash"], "left_semi")
+
+    a, b = cool.alias("a"), cool.alias("b")
+    cool_pairs = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("a.url") < F.col("b.url"))
         .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+
+    n_salts = max(1, cfg.n_salts)
+    wa = warm_rows.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
+    ).alias("a")
+    wb = warm_rows.withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ),
+    ).alias("b")
+    warm_pairs = (
+        wa.join(wb, ["band_id", "band_hash", "salt"])
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+
+    return (
+        cool_pairs.unionByName(warm_pairs)
         .groupBy("url_a", "url_b")
         .agg(F.count("*").cast("double").alias("score"))
     )

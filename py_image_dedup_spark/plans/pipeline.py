@@ -57,13 +57,35 @@ def _checkpointed(
         return df
     build().write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
+    elapsed = time.time() - t0
+    n_rows = df.count()
+    metrics.append({"stage": stage, "metric": "seconds", "value": elapsed})
+    metrics.append({"stage": stage, "metric": "rows", "value": float(n_rows)})
     metrics.append(
-        {"stage": stage, "metric": "seconds", "value": time.time() - t0}
+        {
+            "stage": stage,
+            "metric": "partitions",
+            "value": float(df.rdd.getNumPartitions()),
+        }
     )
     metrics.append(
-        {"stage": stage, "metric": "rows", "value": float(df.count())}
+        {
+            "stage": stage,
+            "metric": "rows_per_sec",
+            "value": (n_rows / elapsed) if elapsed > 0 else 0.0,
+        }
     )
     return df
+
+
+def partition_histogram(df: DataFrame) -> DataFrame:
+    """Per-partition row counts for a stage output — the lineage view used
+    to spot skew (one shuffle-free pass: spark_partition_id + local agg)."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .orderBy("partition_id")
+    )
 
 
 def run_dedup_pipeline(
@@ -159,9 +181,15 @@ def run_dedup_pipeline(
     )
 
     hashed_full.unpersist()
+    # lineage: which app produced which stage commit, under what config —
+    # the per-stage provenance record the resume seam pairs with
+    app_id = spark.sparkContext.applicationId
     metrics_df = spark.createDataFrame(
-        [(m["stage"], m["metric"], m["value"]) for m in metrics],
-        "stage string, metric string, value double",
+        [
+            (m["stage"], m["metric"], m["value"], app_id, cfg.mode)
+            for m in metrics
+        ],
+        "stage string, metric string, value double, app_id string, mode string",
     )
     if not cfg.dry_run:
         metrics_df.write.mode("overwrite").parquet(p("metrics"))
