@@ -79,6 +79,16 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     cfg = DedupConfig(max_dist=0.30, shuffle_partitions=cpus)
+
+    # steady-state warm-up: a miniature pipeline first, so JIT/codegen
+    # compilation constants don't leak into the timed measurement
+    from py_image_dedup_spark.sources.pages import generate_pages as _gen
+
+    warm = _gen(spark, 50, seed=7)
+    warm_ckpt = tempfile.mkdtemp(prefix="bench_warm_", dir=BENCH_CACHE)
+    run_dedup_pipeline(spark, warm, cfg, warm_ckpt, resume=False)
+    shutil.rmtree(warm_ckpt, ignore_errors=True)
+
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=BENCH_CACHE)
     t0 = time.time()
     out = run_dedup_pipeline(spark, pages, cfg, ckpt, resume=False)

@@ -86,6 +86,11 @@ class DedupConfig:
     # n_salts partitions (A-side salted by url hash, B-side replicated).
     salt_threshold: int = 64
     n_salts: int = 16
+    # Winner election for the exact-dup pre-pass: True = shuffle keys only
+    # and broadcast-semi-join winners back (right up to ~tens of millions
+    # of representatives); False = single min_by shuffle of full rows
+    # (always safe, more shuffle bytes).
+    broadcast_rep_filter: bool = True
     shuffle_partitions: int = 32
     dry_run: bool = False
 

@@ -50,6 +50,20 @@ def connected_components(
         sym.select(F.col("n")).distinct().withColumn("label", F.col("n"))
     ).localCheckpoint(eager=True)
 
+    # convergence detector: order-independent signature of the label set
+    # (XOR of per-row hashes — rows are unique (n, label) pairs, and XOR
+    # can't overflow under ANSI mode). One cheap scan of the freshly
+    # checkpointed frame per round instead of a join-with-previous —
+    # the join dominated wall-clock on shallow graphs. False convergence
+    # needs a 2^-64-scale collision *between consecutive rounds*.
+    def _sig(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.bit_xor(F.xxhash64("n", "label")).alias("s"),
+            F.count("*").alias("c"),
+        ).first()
+        return (row["s"], row["c"])
+
+    prev = _sig(labels)
     for _ in range(max_iterations):
         # candidate label for n: min(own label, labels of neighbors)
         neighbor_labels = (
@@ -62,15 +76,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
 
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "n")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        cur = _sig(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
 
     out = labels.select(F.col("n").alias(vertex_col), F.col("label").alias("cluster_id"))
     if vertices is not None:

@@ -67,3 +67,21 @@ def exact_unique_representatives(pages_hashed: DataFrame) -> DataFrame:
         F.min_by(F.struct(*others), F.col("url")).alias("_rep")
     )
     return picked.select("content_hash", *[F.col(f"_rep.{c}").alias(c) for c in others])
+
+
+def exact_unique_representatives_broadcast(pages_hashed: DataFrame) -> DataFrame:
+    """Shuffle-light variant: the winner election shuffles ONLY
+    (url, content_hash) key pairs; the text payload then reaches the
+    winners through a broadcast semi-join against the (small) winner-url
+    list, i.e. a second pruned pass over the source instead of a full-text
+    shuffle. Right when #winners x url-width fits the broadcast budget
+    (tens of millions of rows); beyond that, fall back to
+    exact_unique_representatives (or bucket the source table by url).
+    """
+    winners = (
+        pages_hashed.select("url", "content_hash")
+        .groupBy("content_hash")
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    return pages_hashed.join(F.broadcast(winners), "url", "left_semi")

@@ -40,6 +40,19 @@ def orphan_signatures(signatures: DataFrame, pages_meta: DataFrame) -> DataFrame
     return signatures.join(pages_meta.select("url"), "url", "left_anti")
 
 
+def repair_duplicate_rows(signatures: DataFrame) -> DataFrame:
+    """P10: the reference deletes+re-adds when a path has >1 index doc
+    (elasticsearchstorebackend.py:176-179). Under MERGE-key uniqueness this
+    can't happen; as a defensive repair keep the lexicographically-first
+    row per url."""
+    others = [c for c in signatures.columns if c != "url"]
+    return (
+        signatures.groupBy("url")
+        .agg(F.min_by(F.struct(*others), F.struct(*others)).alias("_r"))
+        .select("url", *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
+
+
 def merge_signatures(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """Upsert semantics: updates win on url collision; orphans must be
     removed separately (orphan_signatures). Columns are aligned by name."""

@@ -109,8 +109,10 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
 
 
 def lsh_candidate_pipeline(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures -> verified candidate pairs in one plan."""
+    """signatures -> verified candidate pairs in one plan. Pair generation
+    goes through the shared skew-aware join (operators/modes.py) so the
+    salting tiers apply here too."""
+    from py_image_dedup_spark.operators.modes import minhash_pairs
+
     sigs = compute_signatures(pages_norm, cfg)
-    bands = explode_bands(sigs, cfg)
-    pairs = candidate_pairs(bands, cfg)
-    return verify_pairs(pairs, sigs, cfg)
+    return minhash_pairs(sigs, cfg)

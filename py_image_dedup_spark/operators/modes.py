@@ -45,6 +45,10 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
                                hot-bucket metrics), AQE skew-join mops up
                                residual imbalance
     """
+    # the band table fans out to five consumers (sizes agg, hot/warm
+    # anti/semi joins, both self-join sides); without persisting, each one
+    # re-explodes the signatures and re-hashes every band
+    bands = bands.persist()
     sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )

@@ -31,6 +31,7 @@ from py_image_dedup_spark.config import DedupConfig
 from py_image_dedup_spark.operators.components import connected_components
 from py_image_dedup_spark.operators.exact import (
     exact_unique_representatives,
+    exact_unique_representatives_broadcast,
     with_content_hash,
 )
 from py_image_dedup_spark.operators.modes import pairs_stage, signature_stage
@@ -117,7 +118,12 @@ def run_dedup_pipeline(
     )
 
     def build_signatures() -> DataFrame:
-        sigs = signature_stage(exact_unique_representatives(hashed_full), cfg)
+        rep_fn = (
+            exact_unique_representatives_broadcast
+            if cfg.broadcast_rep_filter
+            else exact_unique_representatives
+        )
+        sigs = signature_stage(rep_fn(hashed_full), cfg)
         return sigs.drop("norm_text", "warc_ts", "n_bytes", "n_chars")
 
     signatures = _checkpointed(

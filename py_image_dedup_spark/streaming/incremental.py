@@ -85,6 +85,59 @@ def incremental_pairs(
     return store, verified
 
 
+def filter_events(
+    events: DataFrame,
+    url_prefixes: tuple[str, ...] = (),
+    exclude_pattern: str | None = None,
+    lang_allow: tuple[str, ...] = (),
+) -> DataFrame:
+    """T2 (file_watch.py:60-66): keep only events whose url is under a
+    watched root, doesn't match the exclusion regex, and passes the
+    lang allow-list (extension-filter analog)."""
+    out = events
+    if url_prefixes:
+        cond = None
+        for p in url_prefixes:
+            c = F.col("url").startswith(p)
+            cond = c if cond is None else (cond | c)
+        out = out.where(cond)
+    if exclude_pattern:
+        out = out.where(~F.col("url").rlike(exclude_pattern))
+    if lang_allow:
+        out = out.where(F.col("lang").isin(*lang_allow))
+    return out
+
+
+def route_events(events: DataFrame) -> dict[str, DataFrame]:
+    """T3 (file_watch.py:23-58): CDC routing by event kind.
+
+    created/modified -> upsert; moved -> delete old url + upsert new;
+    deleted -> remove. Input: (kind, url, new_url?, ...payload). Returns
+    {"upserts": urls to (re)analyze, "deletes": urls to drop from store}.
+    """
+    cols = [c for c in events.columns if c not in ("kind", "new_url")]
+    upserts = events.where(
+        F.col("kind").isin("created", "modified")
+    ).select(*cols)
+    if "new_url" in events.columns:
+        moved = events.where(F.col("kind") == "moved")
+        upserts = upserts.unionByName(
+            moved.select(
+                F.col("new_url").alias("url"),
+                *[c for c in cols if c != "url"],
+            )
+        )
+        move_deletes = moved.select("url")
+    else:
+        move_deletes = events.limit(0).select("url")
+    deletes = (
+        events.where(F.col("kind") == "deleted").select("url")
+        .unionByName(move_deletes)
+        .distinct()
+    )
+    return {"upserts": upserts, "deletes": deletes}
+
+
 def session_windows(events: DataFrame, gap: str = "30 seconds") -> DataFrame:
     """Event-time settle window (T4 exact parity): one row per
     (key, session_window) with the event count."""
