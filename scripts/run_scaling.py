@@ -136,10 +136,18 @@ def main() -> None:
         lines.append(
             f"| {s} (s, median) | {med(n_lo, s):.1f} | {med(n_hi, s):.1f} |"
         )
+    norm = (eff / hw_eff) if hw_eff else None
     lines += [
         "",
         f"**Scaling efficiency E = thr(4N) / ({ratio:.0f} x thr(N)) = "
         f"{eff:.3f}** (gate >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
+        (
+            f"**Host-normalized efficiency E / ceiling = {norm:.3f}** — the "
+            "fraction of the machine's own measured N->4N scaling the "
+            "pipeline achieves (ceiling from the spin probe above)."
+            if norm
+            else ""
+        ),
         "",
         "Per-run raw docs/sec:",
         f"- local[{n_lo}]: {[r['dedup_docs_per_sec'] for r in results[n_lo]]}",
