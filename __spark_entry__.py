@@ -108,6 +108,29 @@ def q_keep_best_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation: cluster-size histogram of the synthetic
+    clusters (group size -> how many clusters have it)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).alias("cluster_id")
+    )
+    sizes = d.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+
+
+def q_topk_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k window: 3 longest docs per source."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("source", "rnk", "doc_id", "n_chars")
+    )
+
+
 def q_action_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: result summary counts over the policy output."""
     return (
@@ -397,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_actions": q_exact_dedup_actions,
         "keep_best_policy": q_keep_best_policy,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "topk_by_source": q_topk_by_source,
         "action_counts": q_action_counts,
         "lang_filter": q_lang_filter,
         "exclusion_filter": q_exclusion_filter,
@@ -470,6 +495,23 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY cluster_id) AS keep_id,
                    CASE WHEN rank = 1 THEN 'keep' ELSE 'delete' END AS action
             FROM r
+        """,
+        "cluster_size_histogram": """
+            WITH s AS (
+              SELECT doc_id % 97 AS cluster_id, count(*) AS sz
+              FROM documents GROUP BY 1
+            )
+            SELECT sz, count(*) AS n_clusters FROM s GROUP BY sz
+        """,
+        "topk_by_source": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC)
+                       AS rnk
+              FROM documents
+            )
+            SELECT source, rnk, doc_id, n_chars FROM r WHERE rnk <= 3
         """,
         "action_counts": """
             WITH r AS (
