@@ -218,6 +218,31 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scoped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 scope semantics (across_sources=False, reference
+    deduplicator.py:322-334): near-dup pairs may only form within one
+    source. The source key comes from the engine's source_of(url) — the
+    same expression the pair join scopes on — and the join is keyed on it,
+    exactly how _capped_self_join enforces the scope."""
+    from py_image_dedup_spark.operators.modes import source_of
+
+    cfg = DedupConfig(across_sources=False)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        source_of(F.col("url"), cfg).alias("src"),
+        char_shingles("norm_text", JACCARD_K).alias("sh"),
+    )
+    a = d.select("src", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select("src", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "src")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc", shingle_set_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jacc") >= F.lit(JACCARD_MIN))
+        .select("src", "id_a", "id_b", "jacc")
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: distributed CC over the ngram-pair edges; oracle = recursive-CTE
     transitive closure. component = min doc_id reachable."""
@@ -431,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_antijoin": q_incremental_antijoin,
         "cleanup_orphans": q_cleanup_orphans,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "scoped_pairs": q_scoped_pairs,
         "connected_components": q_connected_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -532,7 +558,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT regexp_matches(source, '^src1')
         """,
         "count_by_source": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
         """,
         "point_lookup": "SELECT * FROM documents WHERE doc_id = 421",
@@ -565,6 +592,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.sh, b.sh))::DOUBLE
                     / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_MIN}
+        """,
+        "scoped_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, 'doc://' || source AS src, {shingles} AS sh
+              FROM (SELECT doc_id, source, {_NT} AS nt FROM documents)
+            )
+            SELECT a.src AS src, a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+            FROM d a JOIN d b ON a.src = b.src AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh)))
+                  >= {JACCARD_MIN}
         """,
         "connected_components": f"""
             WITH RECURSIVE d AS (
@@ -687,8 +727,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                     AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

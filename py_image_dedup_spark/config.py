@@ -73,7 +73,15 @@ class DedupConfig:
     max_ts_delta_s: float | None = None
 
     # --- scope (reference: config.py:165-173) ---
-    across_sources: bool = True     # False => only pair urls sharing source prefix
+    # SEARCH_ACROSS_ROOT_DIRS analog: when False, candidate pairs are
+    # restricted to urls sharing a source (deduplicator.py:322-334 keeps
+    # candidates under the same root dir). Enforced structurally in the
+    # pair join (operators/modes.py:_capped_self_join): the source joins
+    # as an extra bucket key, so scoped runs also shrink every LSH bucket.
+    across_sources: bool = True
+    # What "source" means for a url: regex whose full match is the source
+    # key (default: scheme://authority — the root-directory analog).
+    source_pattern: str = r"^[a-z][a-z0-9+.-]*://[^/]+"
 
     # --- scale controls ---
     # Max rows a single LSH bucket may contribute pairs from. Buckets larger

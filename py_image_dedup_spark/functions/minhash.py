@@ -92,7 +92,9 @@ def make_minhash_udf(cfg: DedupConfig) -> Callable:
                 continue
             per_doc = [shingle_hashes_u64(t, k) for t in vals]
             sigs = _minhash_from_hashes(per_doc, a, b, num_hashes)
-            out = sigs.T.astype(np.int64)  # reinterpret-with-wrap for LongType
+            # bit-reinterpret (two's complement) for LongType; astype would
+            # be undefined for values >= 2**63 — the common case here
+            out = sigs.T.view(np.int64)
             yield pd.Series(list(out))
 
     return minhash_sig

@@ -43,7 +43,7 @@ def make_simhash_udf(cfg: DedupConfig) -> Callable:
                 fp = np.uint64(0)
                 for bit in np.nonzero(votes > 0)[0]:
                     fp |= np.uint64(1) << np.uint64(63 - bit)
-                out[i] = fp.astype(np.int64)
+                out[i] = fp.view(np.int64)  # bit reinterpret, not value cast
             yield pd.Series(out)
 
     return simhash64

@@ -30,9 +30,21 @@ from py_image_dedup_spark.functions.simhash import (
 from py_image_dedup_spark.operators import lsh as _minhash
 
 
+def source_of(url, cfg: DedupConfig):
+    """Source key of a url — the root-directory analog
+    (reference deduplicator.py:322-334 restricts candidates to the same
+    root dir unless SEARCH_ACROSS_ROOT_DIRS, config.py:165-173)."""
+    return F.regexp_extract(url, cfg.source_pattern, 0)
+
+
 def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Shared band/bucket self-join with skew handling; returns
     (url_a, url_b, score = #shared buckets).
+
+    Scope (P7): when cfg.across_sources is False the url's source joins as
+    an extra bucket key, so pairs can only form within one source — and
+    every bucket shrinks to its per-source slice, which also tightens the
+    skew tiers below.
 
     Three bucket tiers (north_rule "salted repartitioning for hot LSH
     buckets, skew-aware band-key aggregation"):
@@ -45,55 +57,60 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
                                hot-bucket metrics), AQE skew-join mops up
                                residual imbalance
     """
+    keys = ["band_id", "band_hash"]
+    if not cfg.across_sources:
+        bands = bands.withColumn("_src", source_of(F.col("url"), cfg))
+        keys = keys + ["_src"]
     # the band table fans out to five consumers (sizes agg, hot/warm
     # anti/semi joins, both self-join sides); without persisting, each one
     # re-explodes the signatures and re-hashes every band
     bands = bands.persist()
-    sizes = bands.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
-    )
-    hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
-    warm = sizes.where(
-        (F.col("bucket_size") > cfg.salt_threshold)
-        & (F.col("bucket_size") <= cfg.bucket_cap)
-    )
-    live = bands.join(
-        F.broadcast(hot.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
-    warm_keys = F.broadcast(warm.select("band_id", "band_hash"))
-    cool = live.join(warm_keys, ["band_id", "band_hash"], "left_anti")
-    warm_rows = live.join(warm_keys, ["band_id", "band_hash"], "left_semi")
+    try:
+        sizes = bands.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
+        hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
+        warm = sizes.where(
+            (F.col("bucket_size") > cfg.salt_threshold)
+            & (F.col("bucket_size") <= cfg.bucket_cap)
+        )
+        live = bands.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+        warm_keys = F.broadcast(warm.select(*keys))
+        cool = live.join(warm_keys, keys, "left_anti")
+        warm_rows = live.join(warm_keys, keys, "left_semi")
 
-    a, b = cool.alias("a"), cool.alias("b")
-    cool_pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.url") < F.col("b.url"))
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
-    )
+        a, b = cool.alias("a"), cool.alias("b")
+        cool_pairs = (
+            a.join(b, keys)
+            .where(F.col("a.url") < F.col("b.url"))
+            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        )
 
-    n_salts = max(1, cfg.n_salts)
-    wa = warm_rows.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
-    ).alias("a")
-    wb = warm_rows.withColumn(
-        "salt",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
-        ),
-    ).alias("b")
-    warm_pairs = (
-        wa.join(wb, ["band_id", "band_hash", "salt"])
-        .where(F.col("a.url") < F.col("b.url"))
-        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
-    )
+        n_salts = max(1, cfg.n_salts)
+        wa = warm_rows.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
+        ).alias("a")
+        wb = warm_rows.withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+            ),
+        ).alias("b")
+        warm_pairs = (
+            wa.join(wb, keys + ["salt"])
+            .where(F.col("a.url") < F.col("b.url"))
+            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        )
 
-    return (
-        cool_pairs.unionByName(warm_pairs)
-        .groupBy("url_a", "url_b")
-        .agg(F.count("*").cast("double").alias("score"))
-    )
+        scored = (
+            cool_pairs.unionByName(warm_pairs)
+            .groupBy("url_a", "url_b")
+            .agg(F.count("*").cast("double").alias("score"))
+        )
+        # materialize the (post-aggregation, much smaller) pair table so the
+        # band cache can be released here instead of leaking for the app
+        # lifetime across repeated pairs_stage calls
+        return scored.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
 
 
 # ---------------------------------------------------------------- minhash
