@@ -23,6 +23,8 @@ find_duplicates for just the drained queue items
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -153,6 +155,22 @@ def session_windows(events: DataFrame, gap: str = "30 seconds") -> DataFrame:
     )
 
 
+def latest_signatures(sig_log: DataFrame) -> DataFrame:
+    """Current view of the append-only signature log: latest batch wins per
+    url. The parquet stand-in for an Iceberg MERGE'd table — on a cluster
+    the log+compaction pair becomes `MERGE INTO signatures USING updates ON
+    url` and this view is just the table scan."""
+    payload = [c for c in sig_log.columns if c not in ("url", "batch_id")]
+    return (
+        sig_log.groupBy("url")
+        .agg(
+            F.max_by(F.struct(*payload), F.col("batch_id")).alias("_r"),
+            F.max("batch_id").alias("batch_id"),
+        )
+        .select("url", *[F.col(f"_r.{c}").alias(c) for c in payload], "batch_id")
+    )
+
+
 def run_incremental_stream(
     spark: SparkSession,
     input_path: str,
@@ -160,32 +178,138 @@ def run_incremental_stream(
     pairs_path: str,
     cfg: DedupConfig,
     trigger_seconds: int = 30,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    n_band_partitions: int = 64,
     schema: str = "url string, warc_ts timestamp, html binary, "
                   "text string, lang string",
 ):
-    """Wire the micro-batch step to a file-source stream (new parquet files
+    """Wire incremental dedup to a file-source stream (new parquet files
     under input_path = the watchdog watch dir). Returns the StreamingQuery.
+
+    Storage layout — all APPEND-only, so no micro-batch ever deletes files
+    another plan still references, and per-batch write cost is O(batch):
+
+      store_path/sigs    (url, content_hash, sig, batch_id) signature LOG;
+                         current view = latest_signatures() (latest batch
+                         wins per url — the upsert/S7 semantics)
+      store_path/bands   (url, band_id, band_hash, batch_id) partitioned
+                         by band_pfx = pmod(band_hash, n_band_partitions):
+                         the per-batch "which stored docs share a bucket
+                         with the new docs" lookup reads ONLY the
+                         partitions holding touched buckets (partition
+                         pruning at scan time), not the whole store
+      pairs_path         verified pairs, appended per batch
+
+    Each pair is emitted exactly once across batches (a pair needs >=1 new
+    side; re-upserting a url re-emits its pairs — downstream dedupes on
+    (url_a, url_b), same as re-running find_duplicates in the reference
+    daemon, processing_manager.py:100-136).
     """
-    stream = (
-        spark.readStream.schema(schema).parquet(input_path)
-        .dropDuplicates(["url"])
-    )
+    sig_path = os.path.join(store_path, "sigs")
+    bands_path = os.path.join(store_path, "bands")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:  # first batch: empty store
-            store = spark.createDataFrame(
-                [], "url string, content_hash string, sig array<long>"
+        # T6 queue-dedupe, per drained batch (processing_manager.py:65-69):
+        # one row per url, latest warc_ts wins
+        cols = [c for c in batch.columns if c != "url"]
+        batch = (
+            batch.groupBy("url")
+            .agg(F.max_by(F.struct(*cols), F.col("warc_ts")).alias("_r"))
+            .select("url", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        )
+        hashed = with_content_hash(batch)
+        reps = exact_unique_representatives(hashed)
+        new_sigs = (
+            compute_signatures(reps, cfg)
+            .select("url", "content_hash", "sig")
+            .withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint(eager=True)  # hash once, 4 consumers below
+        )
+        if new_sigs.isEmpty():
+            return
+        new_bands = explode_bands(new_sigs, cfg).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        touched = new_bands.select("band_id", "band_hash").distinct()
+        touched_pfx = [
+            r[0]
+            for r in touched.select(
+                F.pmod("band_hash", F.lit(n_band_partitions)).alias("p")
             )
-        new_store, verified = incremental_pairs(batch, store, cfg)
-        new_store.write.mode("overwrite").parquet(store_path + "_next")
-        spark.read.parquet(store_path + "_next").write.mode("overwrite").parquet(store_path)
-        verified.write.mode("append").parquet(pairs_path)
+            .distinct()
+            .collect()
+        ]
 
-    return (
-        stream.writeStream.foreachBatch(process)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .option("checkpointLocation", store_path + "_ckpt")
-        .start()
+        band_cols = ["url", "band_id", "band_hash"]
+        all_bands = new_bands.select(*band_cols)
+        store_sigs = None
+        if os.path.exists(os.path.join(sig_path, "_SUCCESS")):
+            sig_log = spark.read.parquet(sig_path)
+            store_sigs = latest_signatures(sig_log)
+            # partition-pruned scan: only band_pfx partitions that contain a
+            # touched bucket are read, then exact bucket keys semi-join
+            old_bands = (
+                spark.read.parquet(bands_path)
+                .where(F.col("band_pfx").isin(touched_pfx))
+                .join(F.broadcast(touched), ["band_id", "band_hash"], "left_semi")
+                # drop rows superseded by a later re-upsert of the same url
+                .join(
+                    store_sigs.select("url", "batch_id"),
+                    ["url", "batch_id"],
+                    "left_semi",
+                )
+            )
+            all_bands = all_bands.unionByName(old_bands.select(*band_cols))
+
+        new_urls = new_sigs.select("url")
+        mark_a = F.broadcast(
+            new_urls.select(F.col("url").alias("url_a"), F.lit(1).alias("_na"))
+        )
+        mark_b = F.broadcast(
+            new_urls.select(F.col("url").alias("url_b"), F.lit(1).alias("_nb"))
+        )
+        a, b = all_bands.alias("a"), all_bands.alias("b")
+        pairs = (
+            a.join(b, ["band_id", "band_hash"])
+            .where(F.col("a.url") < F.col("b.url"))
+            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+            .join(mark_a, "url_a", "left")
+            .join(mark_b, "url_b", "left")
+            # >=1 side new; old-vs-old pairs were emitted by earlier batches
+            .where(F.col("_na").isNotNull() | F.col("_nb").isNotNull())
+            .groupBy("url_a", "url_b")
+            .agg(F.count("*").cast("double").alias("score"))
+        )
+        sigs_view = new_sigs.select("url", "content_hash", "sig")
+        if store_sigs is not None:
+            sigs_view = merge_signatures(
+                store_sigs.select("url", "content_hash", "sig"), sigs_view
+            )
+        verified = verify_pairs(pairs, sigs_view, cfg)
+
+        # appends only — nothing a concurrent or later plan reads is deleted
+        verified.write.mode("append").parquet(pairs_path)
+        new_sigs.write.mode("append").parquet(sig_path)
+        (
+            new_bands.withColumn(
+                "band_pfx", F.pmod("band_hash", F.lit(n_band_partitions))
+            )
+            .write.mode("append")
+            .partitionBy("band_pfx")
+            .parquet(bands_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", store_path + "_ckpt"
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
