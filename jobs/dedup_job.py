@@ -47,6 +47,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--rules", default=",".join(DEFAULT_RULES),
                    help="comma-separated prioritization rules")
     p.add_argument("--max-ts-delta-s", type=float, default=None)
+    p.add_argument(
+        "--stages", default="all",
+        choices=["all", "pages_meta", "signatures", "pairs", "clusters"],
+        help="run the pipeline only up to (and including) this stage; "
+             "'signatures' is the reference's analyse-only entry point "
+             "(py_image_dedup/cli.py:38-41)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--master", default=None)
@@ -84,12 +90,19 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = spark.read.parquet(args.input)
 
-    out = run_dedup_pipeline(spark, pages, cfg, args.output, resume=args.resume)
-    summary = {
-        r["action"]: r["count"]
-        for r in out["actions"].groupBy("action").count().collect()
-    }
-    print(f"actions summary: {summary}")
+    until = None if args.stages == "all" else args.stages
+    out = run_dedup_pipeline(
+        spark, pages, cfg, args.output, resume=args.resume, until_stage=until
+    )
+    if "actions" in out:
+        summary = {
+            r["action"]: r["count"]
+            for r in out["actions"].groupBy("action").count().collect()
+        }
+        print(f"actions summary: {summary}")
+    else:
+        last = [s for s in out if s != "metrics"][-1]
+        print(f"stopped after stage {last}: {out[last].count()} rows")
     out["metrics"].orderBy("stage", "metric").show(50, truncate=False)
     spark.stop()
     return 0

@@ -94,11 +94,13 @@ class DedupConfig:
     # n_salts partitions (A-side salted by url hash, B-side replicated).
     salt_threshold: int = 64
     n_salts: int = 16
-    # Winner election for the exact-dup pre-pass: True = shuffle keys only
-    # and broadcast-semi-join winners back (right up to ~tens of millions
-    # of representatives); False = single min_by shuffle of full rows
-    # (always safe, more shuffle bytes).
-    broadcast_rep_filter: bool = True
+    # Winner election for the exact-dup pre-pass is SIZE-AWARE: the winner
+    # count (distinct content_hash, a key-only agg) picks the strategy.
+    # winners <= limit: shuffle keys only + broadcast-semi-join winner urls
+    # back (cheap; bounded by the broadcast budget). winners > limit (or
+    # limit 0): single min_by shuffle of full rows — always safe, and the
+    # only sane choice at billions of distinct contents.
+    broadcast_rep_limit: int = 5_000_000
     shuffle_partitions: int = 32
     dry_run: bool = False
 

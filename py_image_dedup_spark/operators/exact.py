@@ -85,3 +85,24 @@ def exact_unique_representatives_broadcast(pages_hashed: DataFrame) -> DataFrame
         .select("url")
     )
     return pages_hashed.join(F.broadcast(winners), "url", "left_semi")
+
+
+def exact_unique_representatives_auto(
+    pages_hashed: DataFrame,
+    broadcast_limit: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Size-aware winner election: count the winners first (a key-only
+    distinct, map-side combined — no payload moves), then pick the
+    broadcast semi-join only when the winner-url list fits the broadcast
+    budget. At 100x scale (billions of distinct contents) a static
+    broadcast default would kill the driver; the min_by shuffle is always
+    safe. `stats`, if given, receives the chosen strategy."""
+    n_winners = pages_hashed.select("content_hash").distinct().count()
+    use_broadcast = 0 < n_winners <= broadcast_limit
+    if stats is not None:
+        stats["rep_strategy"] = "broadcast" if use_broadcast else "min_by"
+        stats["n_winners"] = n_winners
+    if use_broadcast:
+        return exact_unique_representatives_broadcast(pages_hashed)
+    return exact_unique_representatives(pages_hashed)

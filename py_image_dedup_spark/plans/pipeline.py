@@ -20,6 +20,9 @@ Stages:
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
+import json
 import os
 import time
 from collections.abc import Callable
@@ -28,14 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.normalize import extract_meta_udf
 from py_image_dedup_spark.operators.components import connected_components
 from py_image_dedup_spark.operators.exact import (
-    exact_unique_representatives,
-    exact_unique_representatives_broadcast,
+    exact_unique_representatives_auto,
     with_content_hash,
 )
 from py_image_dedup_spark.operators.modes import pairs_stage, signature_stage
 from py_image_dedup_spark.operators.select import select_keepers
+
+STAGES = ("pages_meta", "signatures", "pairs", "clusters", "actions")
+
+META_RULES = ("more-meta", "less-meta")
+
+
+def config_fingerprint(cfg: DedupConfig) -> str:
+    """Stable hash of every tunable — the resume-safety stamp."""
+    payload = json.dumps(
+        dataclasses.asdict(cfg), sort_keys=True, default=str
+    ).encode("utf-8")
+    return hashlib.sha256(payload).hexdigest()
 
 
 def _done(path: str) -> bool:
@@ -95,50 +110,118 @@ def run_dedup_pipeline(
     cfg: DedupConfig,
     checkpoint_dir: str,
     resume: bool = True,
+    until_stage: str | None = None,
 ) -> dict[str, DataFrame]:
     """pages(url, warc_ts, html?, text, lang) -> {pages_meta, signatures,
     pairs, clusters, actions, metrics} — each stage committed to
-    checkpoint_dir/<stage> and skipped on re-run if already committed."""
+    checkpoint_dir/<stage> and skipped on re-run if already committed.
+
+    Resume safety: a fingerprint of cfg is stamped into the checkpoint dir;
+    a re-run with a CHANGED config never silently reuses stage outputs
+    computed under the old one — resume is disabled and everything rebuilds.
+
+    `until_stage` stops after the named stage commits (the reference's
+    `analyse` entry point = until_stage="signatures", cli.py:38-41); later
+    stages are absent from the returned dict.
+    """
+    if until_stage is not None and until_stage not in STAGES:
+        raise ValueError(f"until_stage must be one of {STAGES}")
     metrics: list[dict] = []
     p = lambda s: os.path.join(checkpoint_dir, s)  # noqa: E731
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    fp = config_fingerprint(cfg)
+    fp_path = os.path.join(checkpoint_dir, "_CONFIG_FINGERPRINT")
+    if resume and os.path.exists(fp_path):
+        with open(fp_path, encoding="utf-8") as f:
+            if f.read().strip() != fp:
+                resume = False
+                metrics.append(
+                    {"stage": "all", "metric": "resume_invalidated", "value": 1.0}
+                )
+    with open(fp_path, "w", encoding="utf-8") as f:
+        f.write(fp)
+
+    # more-meta/less-meta policy rules need the head-metadata map; extract
+    # it only when an active rule consumes it (the UDF parses every html)
+    needs_meta = (
+        any(r in META_RULES for r in cfg.prioritization_rules)
+        and "html" in pages.columns
+    )
+    meta_cols = ["meta"] if needs_meta else []
+    hashed = with_content_hash(pages)
+    if needs_meta:
+        hashed = hashed.withColumn("meta", extract_meta_udf(F.col("html")))
 
     # normalized+hashed projection feeds two stages; cache it (deserialized
     # columnar in memory, spills to disk) instead of recomputing the regex
     # normalization + sha2 per consumer
-    hashed_full = with_content_hash(pages).select(
-        "url", "warc_ts", "content_hash", "n_bytes", "n_chars", "norm_text"
+    hashed_full = hashed.select(
+        "url", "warc_ts", "content_hash", "n_bytes", "n_chars", "norm_text",
+        *meta_cols,
     ).persist()
+
+    results: dict[str, DataFrame] = {}
+
+    def _finish() -> dict[str, DataFrame]:
+        hashed_full.unpersist()
+        results["metrics"] = _write_metrics(spark, metrics, cfg, p("metrics"))
+        return results
 
     pages_meta = _checkpointed(
         spark, p("pages_meta"), resume,
         lambda: hashed_full.select(
-            "url", "content_hash", "warc_ts", "n_bytes", "n_chars"
+            "url", "content_hash", "warc_ts", "n_bytes", "n_chars", *meta_cols
         ),
         metrics, "pages_meta",
     )
+    results["pages_meta"] = pages_meta
+    if until_stage == "pages_meta":
+        return _finish()
 
     def build_signatures() -> DataFrame:
-        rep_fn = (
-            exact_unique_representatives_broadcast
-            if cfg.broadcast_rep_filter
-            else exact_unique_representatives
+        rep_stats: dict = {}
+        reps = exact_unique_representatives_auto(
+            hashed_full, cfg.broadcast_rep_limit, rep_stats
         )
-        sigs = signature_stage(rep_fn(hashed_full), cfg)
-        return sigs.drop("norm_text", "warc_ts", "n_bytes", "n_chars")
+        metrics.append(
+            {
+                "stage": "signatures",
+                "metric": "rep_broadcast",
+                "value": 1.0 if rep_stats["rep_strategy"] == "broadcast" else 0.0,
+            }
+        )
+        sigs = signature_stage(reps, cfg)
+        return sigs.drop("norm_text", "warc_ts", "n_bytes", "n_chars", "meta")
 
     signatures = _checkpointed(
         spark, p("signatures"), resume, build_signatures, metrics, "signatures"
     )
+    results["signatures"] = signatures
+    if until_stage == "signatures":
+        return _finish()
 
     pairs = _checkpointed(
         spark, p("pairs"), resume,
         lambda: pairs_stage(signatures, cfg),
         metrics, "pairs",
     )
+    results["pairs"] = pairs
+    if until_stage == "pairs":
+        return _finish()
 
     def build_clusters() -> DataFrame:
+        cc_stats: dict = {}
         rep_clusters = connected_components(
-            pairs, vertices=signatures.select("url"), src="url_a", dst="url_b"
+            pairs, vertices=signatures.select("url"), src="url_a", dst="url_b",
+            stats=cc_stats,
+        )
+        metrics.append(
+            {
+                "stage": "clusters",
+                "metric": "cc_rounds",
+                "value": float(cc_stats.get("rounds", 0)),
+            }
         )
         # fan rep-level cluster ids back out to every exact-dup member
         rep_map = signatures.select(
@@ -156,6 +239,9 @@ def run_dedup_pipeline(
     clusters = _checkpointed(
         spark, p("clusters"), resume, build_clusters, metrics, "clusters"
     )
+    results["clusters"] = clusters
+    if until_stage == "clusters":
+        return _finish()
 
     def build_actions() -> DataFrame:
         # per-representative min distance to any confirmed peer
@@ -176,7 +262,7 @@ def run_dedup_pipeline(
                 "url", "cluster_id",
                 F.coalesce("dist", F.lit(0.0)).alias("dist"),
                 F.coalesce("score", F.lit(0.0)).alias("score"),
-                "n_bytes", "warc_ts", "n_chars",
+                "n_bytes", "warc_ts", "n_chars", *meta_cols,
             )
         )
         sel = select_keepers(candidates, cfg)
@@ -185,8 +271,13 @@ def run_dedup_pipeline(
     actions = _checkpointed(
         spark, p("actions"), resume, build_actions, metrics, "actions"
     )
+    results["actions"] = actions
+    return _finish()
 
-    hashed_full.unpersist()
+
+def _write_metrics(
+    spark: SparkSession, metrics: list[dict], cfg: DedupConfig, path: str
+) -> DataFrame:
     # lineage: which app produced which stage commit, under what config —
     # the per-stage provenance record the resume seam pairs with
     app_id = spark.sparkContext.applicationId
@@ -198,13 +289,5 @@ def run_dedup_pipeline(
         "stage string, metric string, value double, app_id string, mode string",
     )
     if not cfg.dry_run:
-        metrics_df.write.mode("overwrite").parquet(p("metrics"))
-
-    return {
-        "pages_meta": pages_meta,
-        "signatures": signatures,
-        "pairs": pairs,
-        "clusters": clusters,
-        "actions": actions,
-        "metrics": metrics_df,
-    }
+        metrics_df.write.mode("overwrite").parquet(path)
+    return metrics_df

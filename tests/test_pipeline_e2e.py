@@ -150,3 +150,73 @@ def test_metrics_emitted(spark, pages, ckpt):
     out = run(spark, pages, ckpt)
     stages = {r["stage"] for r in out["metrics"].collect()}
     assert {"pages_meta", "signatures", "pairs", "clusters", "actions"} <= stages
+
+
+def test_resume_invalidated_on_config_change(spark, pages, ckpt):
+    """A re-run with a CHANGED config must not silently reuse stage outputs
+    computed under the old one (ADVICE r1)."""
+    run(spark, pages, ckpt)
+    cfg2 = DedupConfig(max_dist=0.05)  # tighter cutoff: fewer pairs
+    out2 = run_dedup_pipeline(spark, pages, cfg2, ckpt, resume=True)
+    resumed = out2["metrics"].where("metric = 'resumed'").count()
+    assert resumed == 0
+    invalidated = out2["metrics"].where("metric = 'resume_invalidated'").count()
+    assert invalidated == 1
+    # same config again: resume works as before
+    out3 = run_dedup_pipeline(spark, pages, cfg2, ckpt, resume=True)
+    assert out3["metrics"].where("metric = 'resumed'").count() >= 4
+
+
+def test_analyse_only_stops_after_signatures(spark, pages, ckpt):
+    """Reference `analyse` entry (cli.py:38-41): phases 2-3 only."""
+    out = run_dedup_pipeline(
+        spark, pages, CFG, ckpt, resume=False, until_stage="signatures"
+    )
+    assert set(out) == {"pages_meta", "signatures", "metrics"}
+    assert os.path.exists(os.path.join(ckpt, "signatures", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(ckpt, "pairs"))
+    assert out["signatures"].count() > 0
+
+
+def test_rep_election_is_size_aware(spark, pages):
+    """Large winner counts must take the min_by path, small ones the
+    broadcast path (VERDICT r1: static broadcast default kills the driver
+    at billions of distinct contents)."""
+    from py_image_dedup_spark.operators.exact import (
+        exact_unique_representatives_auto,
+        with_content_hash,
+    )
+
+    hashed = with_content_hash(pages)
+    stats: dict = {}
+    small = exact_unique_representatives_auto(hashed, 10**9, stats)
+    assert stats["rep_strategy"] == "broadcast"
+    stats2: dict = {}
+    big = exact_unique_representatives_auto(hashed, 1, stats2)
+    assert stats2["rep_strategy"] == "min_by"
+    # both strategies elect the identical representative set
+    assert sorted(r["url"] for r in small.select("url").collect()) == sorted(
+        r["url"] for r in big.select("url").collect()
+    )
+
+
+def test_meta_rules_flow_through_pipeline(spark, pages, ckpt):
+    """more-meta as the leading rule must be usable end-to-end: the html
+    head metadata reaches the policy window (VERDICT r1 missing #5)."""
+    cfg = DedupConfig(
+        max_dist=0.30,
+        prioritization_rules=("more-meta", "more-content", "older-timestamp"),
+    )
+    out = run_dedup_pipeline(spark, pages, cfg, ckpt, resume=False)
+    assert "meta" in out["pages_meta"].columns
+    # fixture htmls all carry a <title>, so meta is non-empty everywhere
+    assert out["pages_meta"].where(F.size("meta") == 0).count() == 0
+    # policy still resolves one keeper per cluster
+    assert (
+        out["actions"]
+        .groupBy("cluster_id")
+        .agg(F.sum((F.col("action") == "keep").cast("int")).alias("k"))
+        .where("k != 1")
+        .count()
+        == 0
+    )

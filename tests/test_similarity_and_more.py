@@ -57,6 +57,42 @@ def test_cc_long_chain_converges(spark):
     assert got.count() == n + 1
 
 
+def test_cc_adversarial_chain_logarithmic_rounds(spark):
+    """Path graph of 400 nodes (diameter 399): min-label propagation needs
+    O(diameter) rounds; alternating large/small-star must converge in
+    O(log n) — the giant-template-component scale guard (VERDICT r1)."""
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "url_a long, url_b long"
+    )
+    stats: dict = {}
+    got = connected_components(edges, stats=stats)
+    assert stats["converged"]
+    assert stats["rounds"] <= 12, stats  # ~2*log2(400) ≈ 17 half-rounds
+    rows = got.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_cc_hub_and_two_blobs(spark):
+    """Hub star (1 center, 200 leaves) + two overlapping cliques sharing a
+    bridge node — converges fast and labels by component min."""
+    hub = [(1000, 1000 + i) for i in range(1, 201)]
+    blob = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    blob2 = [(4, 9), (9, 8), (8, 7)]
+    edges = spark.createDataFrame(
+        hub + blob + blob2, "url_a long, url_b long"
+    )
+    stats: dict = {}
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert stats["converged"] and stats["rounds"] <= 6
+    assert got[1000 + 200] == 1000 and got[1000] == 1000
+    assert all(got[i] == 0 for i in (0, 1, 2, 3, 4, 7, 8, 9))
+
+
 # --------------------------------------------------------------- simhash
 
 def test_simhash_identical_and_divergent(spark):
