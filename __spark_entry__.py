@@ -40,6 +40,7 @@ from py_image_dedup_spark.operators.lsh import lsh_candidate_pipeline
 from py_image_dedup_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     lsh_topk,
 )
 from py_image_dedup_spark.sources.documents import documents_as_pages, load_table
@@ -426,6 +427,22 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_pairs(sigs, cfg)
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (random-hyperplane) variant of embedding_neardup over the
+    same planted-twin corpus — the 100x-scale plan; rows-only here, the
+    recall gate vs the exact operator lives in
+    tests/test_similarity_and_more.py."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(twins)
+    return embedding_neardup_pairs_lsh(
+        corpus, 0.999, dim=64, n_bits=8, tables=8
+    ).select("id_a", "id_b")
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (random-hyperplane LSH buckets + exact re-rank)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -471,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
 

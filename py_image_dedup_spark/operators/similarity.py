@@ -153,14 +153,54 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= min_cosine (id_a < id_b). Exact; use
-    with_lsh_buckets pre-filter at scale."""
+    """All pairs with cosine >= min_cosine (id_a < id_b). EXACT — O(n^2)
+    crossJoin, the verification oracle for embedding_neardup_pairs_lsh;
+    never the plan to run at corpus scale."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= F.lit(float(min_cosine)))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    min_cosine: float,
+    dim: int,
+    n_bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for all-pairs near-dup: random-hyperplane buckets prune
+    the cross product to a bucket self-join (shuffle key = (table_id,
+    bucket)); candidates sharing >=1 bucket are deduped FIRST, then the
+    exact cosine re-check keeps sim >= min_cosine — so output is a subset
+    of the exact operator's with recall P[>=1 shared bucket], which for
+    near-parallel vectors (theta small, miss prob per table
+    1-(1-theta/pi)^n_bits) is driven to ~1 by `tables`. Recall is
+    pytest-gated >= 0.99 vs embedding_neardup_pairs on planted twins."""
+    b = with_lsh_buckets(df, dim, n_bits, tables, seed, id_col, vec_col)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        "table_id", "bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        "table_id", "bucket",
+    )
+    cand = (
+        left.join(right, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= F.lit(float(min_cosine)))
         .select("id_a", "id_b", "sim")
     )

@@ -200,6 +200,45 @@ def test_embedding_neardup_pairs(emb, spark):
     assert got == {(i, 1000 + i) for i in range(5)}
 
 
+def test_embedding_neardup_lsh_recall_vs_exact(emb, spark):
+    """Bucketed near-dup (the 100x-scale path) vs the exact crossJoin
+    oracle: recall >= 0.99 at the planted-twin threshold, zero false
+    positives (exact re-check), and at a looser threshold it still finds
+    >= 90% of what exact finds."""
+    from py_image_dedup_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.999).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(
+            emb, 0.999, dim=16, n_bits=4, tables=8
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.99
+    assert approx <= exact  # re-check makes false positives impossible
+
+    loose_exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.5).collect()
+    }
+    # at cosine 0.5 (theta up to 60deg) 4-bit tables only reach ~0.83
+    # recall; the knob is fewer bits per table: miss prob per table
+    # (1-theta/pi)^2 = 0.44 -> 8 tables miss 0.56^8 < 1%
+    loose_approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs_lsh(
+            emb, 0.5, dim=16, n_bits=2, tables=8
+        ).collect()
+    }
+    assert loose_approx <= loose_exact
+    assert len(loose_exact & loose_approx) / max(len(loose_exact), 1) >= 0.9
+
+
 # ------------------------------------------------------------- textstats
 
 def test_token_count_edge_cases(spark):
