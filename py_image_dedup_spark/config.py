@@ -54,6 +54,11 @@ class DedupConfig:
     lsh_bands: int = 32             # b
     lsh_rows: int = 4               # r (b*r == num_hashes)
     hash_seed: int = 42             # seeds the permutation constants
+    # Signature kernel: "oph" = densified one-permutation hashing (one pass
+    # over the shingle hashes; ~100x fewer FLOPs, needs power-of-two
+    # num_hashes); "kperm" = classic Broder k-permutation (the verification
+    # baseline). Positionwise-comparable signatures either way.
+    minhash_kernel: str = "oph"
 
     # --- SimHash mode ---
     simhash_bits: int = 64

@@ -57,8 +57,12 @@ def perm_constants(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
-    """uint64 hash per character k-shingle. Texts shorter than k hash whole."""
+def shingle_hashes_u64(
+    text: str, k: int, seed: np.uint64 = np.uint64(0)
+) -> np.ndarray:
+    """SORTED unique uint64 hash per character k-shingle. Texts shorter
+    than k hash whole. `seed` folds into the hash pre-mix, so different
+    hash_seed configs give independent hash families."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     n = data.shape[0]
     if n < k or n == 0:
@@ -66,22 +70,39 @@ def shingle_hashes_u64(text: str, k: int) -> np.ndarray:
         h = np.zeros(1, dtype=np.uint64)
         for j in range(n):
             h = h * _POLY_B + data[j]
-        return _mix64(h)
+        return _mix64(h + seed)
     m = n - k + 1
     h = np.zeros(m, dtype=np.uint64)
     for j in range(k):  # k vectorized passes, O(k*n) total
         np.multiply(h, _POLY_B, out=h)
         np.add(h, data[j : j + m], out=h)
     # dedupe: min over a set == min over the multiset, and boilerplate-heavy
-    # docs shrink a lot — one sort here saves num_hashes passes downstream
-    return np.unique(_mix64(h))
+    # docs shrink a lot — one sort here saves every downstream pass
+    return np.unique(_mix64(h + seed))
 
 
 def make_minhash_udf(cfg: DedupConfig) -> Callable:
-    """Factory: pandas UDF text -> array<long> MinHash signature."""
-    a, b = perm_constants(cfg)
+    """Factory: pandas UDF text -> array<long> MinHash signature.
+
+    Two kernels behind one signature contract (cfg.minhash_kernel):
+      "oph"    densified one-permutation hashing (default) — O(shingles)
+               per doc: shingle hashes are already sorted+unique, so the
+               per-bin minimum is the FIRST element of each top-bits bin,
+               found by a 128-entry searchsorted. ~100x fewer FLOPs than
+               k-perm; empty bins densified by circular borrow (Shrivastava
+               & Li, ICML'14). Requires num_hashes to be a power of two.
+      "kperm"  classic Broder k-permutation (cache-blocked multiply-add +
+               reduceat) — the verification baseline.
+    Both yield positionwise-comparable signatures: est Jaccard = fraction
+    of agreeing positions, same banding, same verify expression.
+    """
     k = cfg.shingle_k
     num_hashes = cfg.num_hashes
+    seed = np.uint64(cfg.hash_seed)
+    kernel = cfg.minhash_kernel
+    if kernel == "oph" and num_hashes & (num_hashes - 1):
+        raise ValueError("minhash_kernel='oph' needs power-of-two num_hashes")
+    a, b = perm_constants(cfg)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -90,14 +111,60 @@ def make_minhash_udf(cfg: DedupConfig) -> Callable:
             if len(vals) == 0:
                 yield pd.Series([], dtype=object)
                 continue
-            per_doc = [shingle_hashes_u64(t, k) for t in vals]
-            sigs = _minhash_from_hashes(per_doc, a, b, num_hashes)
+            per_doc = [shingle_hashes_u64(t, k, seed) for t in vals]
+            if kernel == "oph":
+                sigs_dn = _oph_from_hashes(per_doc, num_hashes)
+            else:
+                sigs_dn = np.ascontiguousarray(
+                    _minhash_from_hashes(per_doc, a, b, num_hashes).T
+                )
             # bit-reinterpret (two's complement) for LongType; astype would
             # be undefined for values >= 2**63 — the common case here
-            out = sigs.T.view(np.int64)
+            out = sigs_dn.view(np.int64)
             yield pd.Series(list(out))
 
     return minhash_sig
+
+
+_U64_MAX = np.uint64(np.iinfo(np.uint64).max)
+
+
+def _oph_from_hashes(per_doc: list[np.ndarray], num_hashes: int) -> np.ndarray:
+    """(ndocs, num_hashes) uint64 signatures via one-permutation hashing.
+
+    Bin i of a doc = its hashes whose top log2(num_hashes) bits equal i;
+    the bin's minimum is its first element (input arrays are sorted), so a
+    searchsorted against the bin edges is the whole kernel. Empty bins
+    borrow the value of the nearest occupied bin to the right (circular),
+    computed batch-wise — the standard densification that keeps positionwise
+    collision probability ≈ Jaccard for small docs too.
+    """
+    ndocs = len(per_doc)
+    bits = int(num_hashes).bit_length() - 1
+    shift = np.uint64(64 - bits)
+    edges = np.arange(num_hashes, dtype=np.uint64) << shift
+    sigs = np.full((ndocs, num_hashes), _U64_MAX, dtype=np.uint64)
+    occ = np.zeros((ndocs, num_hashes), dtype=bool)
+    for d, h in enumerate(per_doc):
+        starts = np.searchsorted(h, edges, side="left")
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = h.shape[0]
+        o = ends > starts
+        sigs[d, o] = h[starts[o]]
+        occ[d] = o
+    if not occ.all():
+        orig_vals, orig_occ = sigs.copy(), occ.copy()
+        for s in range(1, num_hashes):
+            missing = ~occ
+            if not missing.any():
+                break
+            rolled_vals = np.roll(orig_vals, -s, axis=1)
+            rolled_occ = np.roll(orig_occ, -s, axis=1)
+            take = missing & rolled_occ
+            sigs[take] = rolled_vals[take]
+            occ |= take
+    return sigs
 
 
 # L2-resident chunk: permutations re-read the chunk from cache instead of

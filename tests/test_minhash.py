@@ -152,6 +152,57 @@ def test_signature_determinism_across_runs(spark):
     assert s1 == s2
 
 
+def test_oph_and_kperm_kernels_agree_on_estimates(spark):
+    """Both kernels must satisfy the same estimator contract: positionwise
+    agreement ≈ exact Jaccard (within binomial noise), identical texts give
+    identical signatures, and both are deterministic."""
+    base = (
+        "a quiet road bends north past the mill and the river keeps its "
+        "own slow ledger of the seasons passing over the stones below "
+    ) * 6
+    rows = [
+        ("base", base),
+        ("same", base),
+        ("edit", base.replace("river", "raven").replace("mill", "hall")),
+        ("other", "entirely unrelated words about catalyst plans " * 16),
+    ]
+    df = spark.createDataFrame(rows, "url string, norm_text string")
+    k = CFG.shingle_k
+    for kernel in ("oph", "kperm"):
+        cfg = DedupConfig(max_dist=0.30, minhash_kernel=kernel)
+        sigs = {
+            r["url"]: np.array(r["sig"])
+            for r in compute_signatures(df, cfg).collect()
+        }
+        assert np.array_equal(sigs["base"], sigs["same"]), kernel
+        for name in ("edit", "other"):
+            exact = brute_jaccard(base, rows[2][1] if name == "edit" else rows[3][1], k)
+            est = float(np.mean(sigs["base"] == sigs[name]))
+            sigma = max((exact * (1 - exact) / cfg.num_hashes) ** 0.5, 1e-9)
+            assert abs(est - exact) <= max(4 * sigma, 0.03), (kernel, name, est, exact)
+
+
+def test_oph_densification_small_docs(spark):
+    """Docs with fewer shingles than bins exercise the circular-borrow
+    densification: signatures must still be fully populated and identical
+    texts must collide on every position."""
+    rows = [("a", "tiny doc"), ("b", "tiny doc"), ("c", "other doc")]
+    df = spark.createDataFrame(rows, "url string, norm_text string")
+    sigs = {
+        r["url"]: np.array(r["sig"])
+        for r in compute_signatures(df, DedupConfig()).collect()
+    }
+    assert sigs["a"].shape == (128,)
+    assert np.array_equal(sigs["a"], sigs["b"])
+    assert not np.array_equal(sigs["a"], sigs["c"])
+
+
+def test_oph_requires_power_of_two():
+    cfg = DedupConfig(num_hashes=96, lsh_bands=32, lsh_rows=3)
+    with pytest.raises(ValueError, match="power-of-two"):
+        make_minhash_udf(cfg)
+
+
 def test_hot_bucket_cap_excludes_mega_buckets(spark):
     """A band shared by > bucket_cap docs must not generate pairs."""
     cfg = DedupConfig(max_dist=0.30, bucket_cap=5)
