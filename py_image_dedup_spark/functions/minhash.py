@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from py_image_dedup_spark.config import DedupConfig
 
@@ -82,7 +82,7 @@ def shingle_hashes_u64(
 
 
 def make_minhash_udf(cfg: DedupConfig) -> Callable:
-    """Factory: pandas UDF text -> array<long> MinHash signature.
+    """Factory: pandas UDF text -> array<int> MinHash signature.
 
     Two kernels behind one signature contract (cfg.minhash_kernel):
       "oph"    densified one-permutation hashing (default) — O(shingles)
@@ -104,7 +104,7 @@ def make_minhash_udf(cfg: DedupConfig) -> Callable:
         raise ValueError("minhash_kernel='oph' needs power-of-two num_hashes")
     a, b = perm_constants(cfg)
 
-    @pandas_udf(ArrayType(LongType()))
+    @pandas_udf(ArrayType(IntegerType()))
     def minhash_sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
             vals = texts.fillna("").to_numpy(dtype=object)
@@ -118,9 +118,16 @@ def make_minhash_udf(cfg: DedupConfig) -> Callable:
                 sigs_dn = np.ascontiguousarray(
                     _minhash_from_hashes(per_doc, a, b, num_hashes).T
                 )
-            # bit-reinterpret (two's complement) for LongType; astype would
-            # be undefined for values >= 2**63 — the common case here
-            out = sigs_dn.view(np.int64)
+            # keep only the LOW 32 bits of each minimum: the signature is
+            # consumed by equality compares (positionwise agreement, band
+            # hashing), where truncation adds a 2^-32 collision bias —
+            # negligible — and halves every sig scan/shuffle/write.
+            # .view(int32) reinterprets (defined for values >= 2^31).
+            out = (
+                (sigs_dn & np.uint64(0xFFFFFFFF))
+                .astype(np.uint32)
+                .view(np.int32)
+            )
             yield pd.Series(list(out))
 
     return minhash_sig

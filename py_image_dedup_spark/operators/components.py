@@ -103,13 +103,16 @@ def connected_components(
     become singleton clusters (cluster_id = own vertex) if a vertices frame
     is supplied. `stats`, if given, receives {"rounds": n, "converged": b}.
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the _sig probe is the materializing action, so
+    # each round costs exactly ONE job (driver job-launch latency is serial
+    # at any cluster size — it directly caps N->4N scaling efficiency)
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
 
     prev = _sig(e)
     rounds = 0
     converged = prev[1] == 0  # no edges: nothing to do
     while not converged and rounds < max_iterations:
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         cur = _sig(e)
         if cur == prev:

@@ -91,15 +91,24 @@ def exact_unique_representatives_auto(
     pages_hashed: DataFrame,
     broadcast_limit: int,
     stats: dict | None = None,
+    known_upper_bound: int | None = None,
 ) -> DataFrame:
-    """Size-aware winner election: count the winners first (a key-only
-    distinct, map-side combined — no payload moves), then pick the
-    broadcast semi-join only when the winner-url list fits the broadcast
-    budget. At 100x scale (billions of distinct contents) a static
-    broadcast default would kill the driver; the min_by shuffle is always
-    safe. `stats`, if given, receives the chosen strategy."""
-    n_winners = pages_hashed.select("content_hash").distinct().count()
-    use_broadcast = 0 < n_winners <= broadcast_limit
+    """Size-aware winner election. At 100x scale (billions of distinct
+    contents) a static broadcast default would kill the driver; the min_by
+    shuffle is always safe — so the winner count picks the strategy.
+
+    `known_upper_bound` (e.g. the input row count, which the pipeline has
+    already measured) short-circuits the decision: winners <= rows, so if
+    rows fit the broadcast budget no counting job runs at all. Only when
+    the bound is absent or too large does the key-only distinct count
+    (map-side combined, no payload moves) run. `stats` receives the choice.
+    """
+    if known_upper_bound is not None and 0 < known_upper_bound <= broadcast_limit:
+        n_winners = known_upper_bound  # upper bound, not exact
+        use_broadcast = True
+    else:
+        n_winners = pages_hashed.select("content_hash").distinct().count()
+        use_broadcast = 0 < n_winners <= broadcast_limit
     if stats is not None:
         stats["rep_strategy"] = "broadcast" if use_broadcast else "min_by"
         stats["n_winners"] = n_winners

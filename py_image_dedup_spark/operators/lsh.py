@@ -37,7 +37,7 @@ from py_image_dedup_spark.functions.minhash import est_jaccard_col, make_minhash
 
 def compute_signatures(pages_norm: DataFrame, cfg: DedupConfig,
                        text_col: str = "norm_text") -> DataFrame:
-    """(url, ...) -> (url, sig array<long>). Arrow-batched NumPy kernel."""
+    """(url, ...) -> (url, sig array<int>). Arrow-batched NumPy kernel."""
     udf = make_minhash_udf(cfg)
     return pages_norm.withColumn("sig", udf(F.col(text_col)))
 
@@ -88,18 +88,39 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
 
 
 def verify_pairs(pairs: DataFrame, signatures: DataFrame,
-                 cfg: DedupConfig) -> DataFrame:
+                 cfg: DedupConfig, broadcast_pairs: bool = False) -> DataFrame:
     """Exact re-check at the signature level: dist = 1 - estimated Jaccard
     (fraction of agreeing positions); keep dist <= max_dist. Mirrors the
     reference's distance_cutoff filter (elasticsearchstorebackend.py:55,86).
+
+    Two physical shapes (caller picks by MEASURED pair count — pairs come
+    out of a materialized checkpoint, so counting is cheap):
+      broadcast_pairs=True   the pair list rides as a broadcast into two
+                             shuffle-free probes of the signature table
+                             (one scan each, signatures NEVER shuffled),
+                             then the two sig-carrying halves — pair-count
+                             sized, not corpus-sized — merge on the pair
+                             key. Right whenever pairs << corpus.
+      broadcast_pairs=False  plain two-step shuffle join — the safe shape
+                             when the pair list itself is huge.
     """
     sigs = signatures.select("url", "sig")
-    joined = (
-        pairs.join(sigs.withColumnRenamed("url", "url_a")
-                   .withColumnRenamed("sig", "sig_a"), "url_a")
-        .join(sigs.withColumnRenamed("url", "url_b")
-              .withColumnRenamed("sig", "sig_b"), "url_b")
-    )
+    if broadcast_pairs:
+        p = F.broadcast(pairs.select("url_a", "url_b", "score"))
+        ja = sigs.withColumnRenamed("url", "url_a").withColumnRenamed(
+            "sig", "sig_a"
+        ).join(p, "url_a")
+        jb = sigs.withColumnRenamed("url", "url_b").withColumnRenamed(
+            "sig", "sig_b"
+        ).join(F.broadcast(pairs.select("url_a", "url_b")), "url_b")
+        joined = ja.join(jb, ["url_a", "url_b"])
+    else:
+        joined = (
+            pairs.join(sigs.withColumnRenamed("url", "url_a")
+                       .withColumnRenamed("sig", "sig_a"), "url_a")
+            .join(sigs.withColumnRenamed("url", "url_b")
+                  .withColumnRenamed("sig", "sig_b"), "url_b")
+        )
     est_j = est_jaccard_col(F.col("sig_a"), F.col("sig_b"))
     return (
         joined.withColumn("dist", (F.lit(1.0) - est_j))

@@ -63,10 +63,13 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         keys = keys + ["_src"]
     # the band table fans out to five consumers (sizes agg, hot/warm
     # anti/semi joins, both self-join sides); without persisting, each one
-    # re-explodes the signatures and re-hashes every band
+    # re-explodes the signatures and re-hashes every band. sizes likewise
+    # feeds four broadcast builds — persist it too.
     bands = bands.persist()
+    sizes = (
+        bands.groupBy(*keys).agg(F.count("*").alias("bucket_size")).persist()
+    )
     try:
-        sizes = bands.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
         hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
         warm = sizes.where(
             (F.col("bucket_size") > cfg.salt_threshold)
@@ -77,7 +80,13 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         cool = live.join(warm_keys, keys, "left_anti")
         warm_rows = live.join(warm_keys, keys, "left_semi")
 
-        a, b = cool.alias("a"), cool.alias("b")
+        # the self-joins MUST shuffle on the band key: both sides are the
+        # full corpus band table, but Catalyst's post-anti-join row
+        # estimates can fall under the broadcast threshold and plan a
+        # driver-killing BroadcastHashJoin of the whole corpus (measured:
+        # ~500 MB single-threaded hash-map build at 300k docs). The hint
+        # pins the sort-merge/shuffled plan that survives 100x.
+        a, b = cool.alias("a"), cool.hint("shuffle_hash").alias("b")
         cool_pairs = (
             a.join(b, keys)
             .where(F.col("a.url") < F.col("b.url"))
@@ -88,12 +97,18 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         wa = warm_rows.withColumn(
             "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
         ).alias("a")
-        wb = warm_rows.withColumn(
-            "salt",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
-            ),
-        ).alias("b")
+        wb = (
+            warm_rows.withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")
+                    )
+                ),
+            )
+            .hint("shuffle_merge")
+            .alias("b")
+        )
         warm_pairs = (
             wa.join(wb, keys + ["salt"])
             .where(F.col("a.url") < F.col("b.url"))
@@ -111,6 +126,7 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         return scored.localCheckpoint(eager=True)
     finally:
         bands.unpersist()
+        sizes.unpersist()
 
 
 # ---------------------------------------------------------------- minhash
@@ -122,7 +138,14 @@ def minhash_signatures(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
 def minhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     bands = _minhash.explode_bands(signatures, cfg)
     pairs = _capped_self_join(bands, cfg)
-    return _minhash.verify_pairs(pairs, signatures, cfg)
+    # pairs just materialized (checkpoint) — counting is one cheap job, and
+    # it picks the verify shape that never shuffles the signature table
+    # when the pair list is broadcastable
+    n_pairs = pairs.count()
+    return _minhash.verify_pairs(
+        pairs, signatures, cfg,
+        broadcast_pairs=n_pairs <= cfg.broadcast_pairs_limit,
+    )
 
 
 # ---------------------------------------------------------------- simhash

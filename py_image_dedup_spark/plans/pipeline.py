@@ -65,24 +65,31 @@ def _checkpointed(
     metrics: list[dict],
     stage: str,
 ) -> DataFrame:
-    """Stage seam: build+write parquet unless a committed output exists."""
+    """Stage seam: build+write parquet unless a committed output exists.
+
+    Row count rides on the write via observe() — no extra job, no re-read;
+    the partition count comes from the committed files. Every post-write
+    action here is driver-serial at any cluster size, so it must stay O(1).
+    """
     t0 = time.time()
     if resume and _done(path):
         df = spark.read.parquet(path)
         metrics.append({"stage": stage, "metric": "resumed", "value": 1.0})
         return df
-    build().write.mode("overwrite").parquet(path)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    build().observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n_rows = int(obs.get["rows"])
     df = spark.read.parquet(path)
     elapsed = time.time() - t0
-    n_rows = df.count()
+    n_files = sum(1 for f in os.listdir(path) if f.startswith("part-"))
     metrics.append({"stage": stage, "metric": "seconds", "value": elapsed})
     metrics.append({"stage": stage, "metric": "rows", "value": float(n_rows)})
     metrics.append(
-        {
-            "stage": stage,
-            "metric": "partitions",
-            "value": float(df.rdd.getNumPartitions()),
-        }
+        {"stage": stage, "metric": "partitions", "value": float(n_files)}
     )
     metrics.append(
         {
@@ -181,8 +188,17 @@ def run_dedup_pipeline(
 
     def build_signatures() -> DataFrame:
         rep_stats: dict = {}
+        n_pages = next(
+            (
+                int(m["value"])
+                for m in metrics
+                if m["stage"] == "pages_meta" and m["metric"] == "rows"
+            ),
+            None,
+        )
         reps = exact_unique_representatives_auto(
-            hashed_full, cfg.broadcast_rep_limit, rep_stats
+            hashed_full, cfg.broadcast_rep_limit, rep_stats,
+            known_upper_bound=n_pages,
         )
         metrics.append(
             {

@@ -59,7 +59,7 @@ def test_orphan_signatures(spark):
 
 
 def test_merge_signatures_upsert(spark):
-    schema = "url string, content_hash string, sig array<long>"
+    schema = "url string, content_hash string, sig array<int>"
     old = spark.createDataFrame(
         [("u1", "h1", [1]), ("u2", "h2", [2])], schema
     )

@@ -123,7 +123,7 @@ def test_streamed_pairs_match_batch_rerun(stream_run):
         .collect()
     }
     empty = spark.createDataFrame(
-        [], "url string, content_hash string, sig array<long>"
+        [], "url string, content_hash string, sig array<int>"
     )
     _, rerun_pairs = incremental_pairs(stream_run["final_corpus"], empty, cfg)
     rerun = {(r["url_a"], r["url_b"]) for r in rerun_pairs.collect()}

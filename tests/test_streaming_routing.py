@@ -47,7 +47,7 @@ def test_repair_duplicate_rows(spark):
         ("u2", "h2", [3]),
     ]
     df = spark.createDataFrame(
-        rows, "url string, content_hash string, sig array<long>"
+        rows, "url string, content_hash string, sig array<int>"
     )
     got = {
         r["url"]: r["content_hash"]
