@@ -51,6 +51,10 @@ def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle width is a DATA-size knob, fixed across core counts so the
+    # N-vs-4N scaling protocol compares identical plans (only parallelism
+    # differs — exactly what "N vs 4N executors" means on a real cluster)
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     sf = sf_of(sf_dir)
     n_groups = int(os.environ.get("BENCH_GROUPS", str(max(200, int(500_000 * sf)))))
 
@@ -62,7 +66,7 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         gen = build_session(
             app_name="bench-corpus-gen", master=f"local[{cpus}]",
-            shuffle_partitions=cpus,
+            shuffle_partitions=shuffle_parts,
         )
         gen.sparkContext.setLogLevel("ERROR")
         ensure_corpus(gen, n_groups)
@@ -71,14 +75,14 @@ def main() -> None:
     spark = build_session(
         app_name="py-image-dedup-spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=shuffle_parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus_path)
     n_docs = pages.count()
 
     queries: dict[str, float] = {}
-    cfg = DedupConfig(max_dist=0.30, shuffle_partitions=cpus)
+    cfg = DedupConfig(max_dist=0.30, shuffle_partitions=shuffle_parts)
 
     # steady-state warm-up: a miniature pipeline first, so JIT/codegen
     # compilation constants don't leak into the timed measurement

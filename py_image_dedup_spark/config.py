@@ -113,7 +113,11 @@ class DedupConfig:
     # signature table (signatures never shuffle); above it, plain shuffle
     # joins. ~130 B/row -> the default caps the broadcast near 250 MB.
     broadcast_pairs_limit: int = 2_000_000
-    shuffle_partitions: int = 32
+    # When set, run_dedup_pipeline pins spark.sql.shuffle.partitions for its
+    # stages (AQE still coalesces down at runtime). None = inherit session.
+    # Partition count is a DATA-size knob, not a core-count knob: the scaling
+    # protocol runs N and 4N cores over the identical plan by fixing this.
+    shuffle_partitions: int | None = None
     dry_run: bool = False
 
     def __post_init__(self) -> None:
@@ -139,6 +143,7 @@ ENV_PREFIX = "PY_IMAGE_DEDUP_SPARK_"
 
 _TUPLE_FIELDS = ("prioritization_rules",)
 _OPTIONAL_FLOAT_FIELDS = ("max_ts_delta_s",)
+_OPTIONAL_INT_FIELDS = ("shuffle_partitions",)
 
 
 def _parse_env_value(name: str, raw: str):
@@ -148,6 +153,8 @@ def _parse_env_value(name: str, raw: str):
         return tuple(x.strip() for x in raw.split(",") if x.strip())
     if name in _OPTIONAL_FLOAT_FIELDS:
         return None if raw.strip() in ("", "none", "null") else float(raw)
+    if name in _OPTIONAL_INT_FIELDS:
+        return None if raw.strip() in ("", "none", "null") else int(raw)
     default = DedupConfig.__dataclass_fields__[name].default
     if isinstance(default, bool):
         return raw.strip().lower() in ("1", "true", "yes", "on")

@@ -84,9 +84,12 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         # full corpus band table, but Catalyst's post-anti-join row
         # estimates can fall under the broadcast threshold and plan a
         # driver-killing BroadcastHashJoin of the whole corpus (measured:
-        # ~500 MB single-threaded hash-map build at 300k docs). The hint
-        # pins the sort-merge/shuffled plan that survives 100x.
-        a, b = cool.alias("a"), cool.hint("shuffle_hash").alias("b")
+        # ~500 MB single-threaded hash-map build at 300k docs). shuffle_merge
+        # (not shuffle_hash) because sort-merge spills: a shuffled-hash build
+        # side must fit in execution memory per task, and at 1.5M docs /
+        # 4 partitions it OOMs (measured) — exactly the failure a 100x run
+        # would hit on any skewed shuffle split.
+        a, b = cool.alias("a"), cool.hint("shuffle_merge").alias("b")
         cool_pairs = (
             a.join(b, keys)
             .where(F.col("a.url") < F.col("b.url"))

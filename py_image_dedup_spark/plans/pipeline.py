@@ -133,6 +133,13 @@ def run_dedup_pipeline(
     """
     if until_stage is not None and until_stage not in STAGES:
         raise ValueError(f"until_stage must be one of {STAGES}")
+    if cfg.shuffle_partitions:
+        # pin the shuffle width for this run (session-wide; AQE coalesces) —
+        # partition count follows DATA size, never the core count, so the
+        # same job at N and 4N cores runs the identical physical split
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
+        )
     metrics: list[dict] = []
     p = lambda s: os.path.join(checkpoint_dir, s)  # noqa: E731
 
