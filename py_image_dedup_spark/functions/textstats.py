@@ -1,13 +1,15 @@
 """Text-analysis functions for training-data pipelines.
 
-All pure built-in column expressions (JVM-side, codegen'd), designed so each
-has an exact ANSI-SQL twin for the DuckDB oracle:
+Built-in column expressions (JVM-side, codegen'd) wherever one exists with
+the right complexity; each has an exact ANSI-SQL twin for the DuckDB oracle:
 
 * token_count_col   — whitespace tokenization count
 * quality_cols      — length / punctuation / stopword-ratio quality signals
 * langid_scores / langid_col — stopword-lexicon language ID heuristic
 * fingerprint_col   — polynomial rolling-hash document fingerprint mod p
-                      (exact integer arithmetic, reproducible in SQL)
+                      (exact integer arithmetic, reproducible in SQL; an
+                      Arrow-batched O(n) kernel — the pure-expression form
+                      needs a substr per position, O(n^2) on MB-scale docs)
 """
 
 from __future__ import annotations
@@ -85,21 +87,66 @@ def langid_col(col: Column | str) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
+def _fingerprint_kernel_factory():
+    """Arrow-batched NumPy kernel for the polynomial fingerprint.
+
+    h = fold(codepoints, h*31 + cp) mod p  ==  sum(cp_i * 31^(n-1-i)) mod p.
+    The fold form is sequential; the power-sum form vectorizes: per doc,
+    one utf-32 decode + one elementwise multiply against a shared cache of
+    31^k mod p. Every term < 2^51 (cp < 2^21, power < 2^30) so a plain
+    uint64 sum is exact up to 2^34 chars/doc. The naive built-in expression
+    (substr per position) is O(n^2) JVM-side on long docs — this kernel is
+    O(n) and C-speed, matching the DuckDB list_reduce twin bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    p = FINGERPRINT_MOD
+    pow_cache = np.ones(1, dtype=np.uint64)  # pow_cache[k] = 31^k mod p
+
+    def powers(n: int) -> "np.ndarray":
+        nonlocal pow_cache
+        if len(pow_cache) < n:
+            grown = np.empty(max(n, 2 * len(pow_cache)), dtype=np.uint64)
+            grown[: len(pow_cache)] = pow_cache
+            for k in range(len(pow_cache), len(grown)):
+                grown[k] = grown[k - 1] * np.uint64(31) % np.uint64(p)
+            pow_cache = grown
+        return pow_cache
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pyspark's hint-based eval-type inference cannot resolve
+    @pandas_udf(LongType())
+    def fingerprint(texts):
+        out = pd.array([0] * len(texts), dtype="Int64")
+        for j, s in enumerate(texts):
+            if s is None:
+                out[j] = None
+            elif s:
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                n = len(codes)
+                pw = powers(n)[:n][::-1]
+                out[j] = int((codes * pw % np.uint64(p)).sum() % np.uint64(p))
+        return pd.Series(out)
+
+    return fingerprint
+
+
+_fingerprint_udf = None
+
+
 def fingerprint_col(col: Column | str) -> Column:
     """Polynomial rolling-hash fingerprint of the text, mod FINGERPRINT_MOD.
 
-    h = fold(chars, h*31 + codepoint mod p). Exact int64 arithmetic (values
-    stay < 31*p + 1114111 << 2^63), so the DuckDB list_reduce twin matches
-    bit-for-bit. O(n) per row via aggregate over a position sequence.
+    Exact integer arithmetic over Unicode codepoints; the DuckDB
+    ``list_reduce`` twin matches bit-for-bit (same fold, same mod).
     """
+    global _fingerprint_udf
+    if _fingerprint_udf is None:
+        _fingerprint_udf = _fingerprint_kernel_factory()
     c = F.col(col) if isinstance(col, str) else col
-    codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
-        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
-    )
-    folded = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * F.lit(31) + x) % F.lit(FINGERPRINT_MOD),
-    )
-    return F.when(F.length(c) == 0, F.lit(0).cast("long")).otherwise(folded)
+    return _fingerprint_udf(c)
