@@ -30,6 +30,8 @@ from py_image_dedup_spark.config import DedupConfig
 from py_image_dedup_spark.functions.shingles import char_shingles, shingle_set_jaccard
 from py_image_dedup_spark.functions.simhash import hamming_col, make_simhash_udf, simhash_blocks
 from py_image_dedup_spark.functions.textstats import (
+    BPE_TOKEN_PATTERN,
+    bpe_token_count_col,
     fingerprint_col,
     langid_col,
     quality_cols,
@@ -293,6 +295,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (functions/textstats.py) — the subword
+    budget estimate alongside the whitespace count."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", bpe_token_count_col("text").alias("n_bpe_tokens"))
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     q = quality_cols(F.col("text"))
@@ -478,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
@@ -682,6 +694,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                    END::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '{BPE_TOKEN_PATTERN.replace("'", "''")}'))::BIGINT
+                       AS n_bpe_tokens
             FROM documents
         """,
         "quality_scores": f"""

@@ -43,6 +43,23 @@ def token_count_col(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# symbol runs (GPT-2-style splitting without lookarounds, so the exact same
+# pattern runs under Java regex (Spark) and RE2 (DuckDB); whitespace is
+# spelled as an explicit class because \s differs between the two engines).
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\r ']+"
+
+
+def bpe_token_count_col(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens — the subword-budget estimator a training
+    pipeline uses when the real tokenizer is too expensive to run at scan
+    time. SQL twin: ``len(regexp_extract_all(text, pattern))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
 def _word_hits(c: Column, words: tuple[str, ...]) -> Column:
     """Count of occurrences of any lexicon word (word-bounded, on lowercase
     text). regexp_extract_all is available in both Spark and DuckDB."""

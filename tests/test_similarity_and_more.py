@@ -264,13 +264,29 @@ def test_langid_heuristic(spark):
 
 
 def test_fingerprint_matches_python(spark):
-    text = "Hello, world!"
+    text = "Hello, world! héllo ✓ 文字"
     expected = 0
     for ch in text:
         expected = (expected * 31 + ord(ch)) % 1_000_000_007
     df = spark.createDataFrame([(text,), ("",)], "t string")
     got = [r[0] for r in df.select(fingerprint_col("t")).collect()]
     assert got == [expected, 0]
+
+
+def test_bpe_token_count(spark):
+    from py_image_dedup_spark.functions.textstats import bpe_token_count_col
+
+    df = spark.createDataFrame(
+        [
+            ("",),                 # 0
+            ("don't stop",),       # don / 't / stop
+            ("abc123 x-y!",),      # abc / 123 / x / - / y / !
+            ("we'll go 42km...",), # we / 'll / go / 42 / km / ...
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(bpe_token_count_col("t")).collect()]
+    assert got == [0, 3, 6, 6]
 
 
 # ------------------------------------------------------------ multimodal
