@@ -39,6 +39,45 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def resolve_master() -> tuple[str, int, bool]:
+    """(master, parallelism, is_cluster).
+
+    SPARK_GRAFT_EXECUTORS=N switches to local-cluster[N,1,mem] — N real
+    executor JVMs with 1 core and SPARK_GRAFT_EXECUTOR_MEM_MB each. This is
+    the faithful \"N vs 4N executors\" analog for the scaling protocol:
+    per-executor resources stay constant while executor count scales
+    (a single shared local[] heap hands the 1-core run 4x the memory per
+    core a real executor would get, inflating the N baseline).
+    """
+    execs = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    if execs:
+        n = int(execs)
+        mem = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "3072"))
+        return f"local-cluster[{n},1,{mem}]", n, True
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return f"local[{cpus}]", cpus, False
+
+
+def build_bench_session(app_name: str, shuffle_parts: int):
+    master, parallelism, is_cluster = resolve_master()
+    spark = build_session(
+        app_name=app_name, master=master, shuffle_partitions=shuffle_parts
+    )
+    if is_cluster:
+        # ship the package the way spark-submit --py-files would; executor
+        # Python workers in local-cluster mode don't inherit the repo path
+        import subprocess
+
+        zip_path = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts", "build_pyfiles.py")],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        spark.sparkContext.addPyFile(zip_path)
+    return spark, parallelism
+
+
 def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
     path = os.path.join(BENCH_CACHE, f"pages_v2_g{n_groups}_s{seed}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -50,7 +89,6 @@ def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # shuffle width is a DATA-size knob, fixed across core counts so the
     # N-vs-4N scaling protocol compares identical plans (only parallelism
     # differs — exactly what "N vs 4N executors" means on a real cluster)
@@ -65,17 +103,15 @@ def main() -> None:
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         gen = build_session(
-            app_name="bench-corpus-gen", master=f"local[{cpus}]",
+            app_name="bench-corpus-gen", master="local[8]",
             shuffle_partitions=shuffle_parts,
         )
         gen.sparkContext.setLogLevel("ERROR")
         ensure_corpus(gen, n_groups)
         gen.stop()
 
-    spark = build_session(
-        app_name="py-image-dedup-spark-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=shuffle_parts,
+    spark, cpus = build_bench_session(
+        "py-image-dedup-spark-bench", shuffle_parts
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus_path)

@@ -1,15 +1,22 @@
 """Two-cluster-size scaling protocol (BASELINE.md): run the identical
-pipeline on the identical on-disk corpus at N and 4N cores, >=3 timed runs
-each (fresh subprocess per run), medians reported, efficiency
+pipeline on the identical on-disk corpus at N and 4N EXECUTORS, >=3 timed
+runs each (fresh subprocess per run), medians reported, efficiency
 E = throughput(4N) / (4 x throughput(N)).
+
+An "executor" is a real separate executor JVM with 1 core and a fixed
+memory grant (local-cluster[N,1,mem] via SPARK_GRAFT_EXECUTORS) — the
+faithful cluster analog: scaling executors scales cores AND memory
+together, exactly as adding executors to a cluster does. (A shared
+local[N] heap hands the 1-core run 4x the per-core memory a real executor
+would get, inflating the N baseline and understating E.)
 
 Level choice is hardware-justified: this sandbox's 32 vCPUs are 16
 physical cores + SMT on a shared host. A pure-CPU (register-only) probe —
 rerun and embedded in the report — shows the machine itself cannot scale
 4x between 8 and 32 threads (no 4x hardware exists there), while 1 -> 4
-cores scales ~3.9x. The protocol therefore measures N=1 vs 4N=4 by
-default and records the machine ceiling alongside, so the efficiency of
-the CODE is separated from the ceiling of the HOST.
+cores scales ~3.9x. The protocol therefore measures N=1 vs 4N=4 executors
+by default and records the machine ceiling alongside, so the efficiency
+of the CODE is separated from the ceiling of the HOST.
 
 Usage: python scripts/run_scaling.py [runs] [sf_dir] [N] [4N] [groups]
 """
@@ -57,7 +64,7 @@ def cpu_probe(levels=(1, 2, 4, 8, 16, 32), reps=3) -> dict[int, float]:
 def bench_once(cpus: int, sf_dir: str, groups: int | None) -> dict:
     env = dict(
         os.environ,
-        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_EXECUTORS=str(cpus),  # N one-core/3g executor JVMs
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_PIPELINE_ONLY="1",
     )
@@ -121,12 +128,18 @@ def main() -> None:
         "",
         "The 32 vCPUs are 16 physical cores + SMT on a shared box: the "
         "machine itself delivers no 4x between 8 and 32 threads, so the "
-        f"N->4N protocol uses N={n_lo}, 4N={n_hi} physical cores, where the "
-        f"hardware ceiling is {hw_eff:.2f} efficiency." if hw_eff else "",
+        f"N->4N protocol uses N={n_lo} vs 4N={n_hi} executors (one physical "
+        f"core each), where the hardware ceiling is {hw_eff:.2f} "
+        "efficiency." if hw_eff else "",
         "",
-        f"## Pipeline results (N = local[{n_lo}], 4N = local[{n_hi}])",
+        "Executor model: local-cluster[N,1,3072] — N separate executor "
+        "JVMs, 1 core + 3 GiB each, package shipped via --py-files-style "
+        "addPyFile; per-executor resources constant across levels, exactly "
+        "how adding executors to a real cluster scales memory with cores.",
         "",
-        f"| metric | local[{n_lo}] (N) | local[{n_hi}] (4N) |",
+        f"## Pipeline results (N = {n_lo} executors, 4N = {n_hi} executors)",
+        "",
+        f"| metric | {n_lo} exec (N) | {n_hi} exec (4N) |",
         "|---|---|---|",
         f"| pipeline e2e (s, median) | {med(n_lo, 'pipeline_e2e'):.1f} "
         f"| {med(n_hi, 'pipeline_e2e'):.1f} |",
@@ -150,16 +163,19 @@ def main() -> None:
         ),
         "",
         "Per-run raw docs/sec:",
-        f"- local[{n_lo}]: {[r['dedup_docs_per_sec'] for r in results[n_lo]]}",
-        f"- local[{n_hi}]: {[r['dedup_docs_per_sec'] for r in results[n_hi]]}",
+        f"- {n_lo} executor(s): "
+        f"{[r['dedup_docs_per_sec'] for r in results[n_lo]]}",
+        f"- {n_hi} executor(s): "
+        f"{[r['dedup_docs_per_sec'] for r in results[n_hi]]}",
         "",
         "Caveats: shared multi-tenant host — co-tenant load adds 1.5-2x "
         "run-to-run noise (hence medians over interleaved runs); "
-        "single-core turbo makes low-thread runs artificially fast, so E "
-        "here UNDER-states what the same code does on a real cluster "
-        "where 4N executors means 4x physical hardware. The Python hash "
-        "kernels are cache-blocked (functions/minhash.py) specifically so "
-        "they stay compute-bound and scale with cores.",
+        "single-core turbo makes low-executor-count runs artificially "
+        "fast, and all executors share one disk (a real 4N cluster also "
+        "quadruples scan/shuffle bandwidth), so E here UNDER-states what "
+        "the same code does on real hardware. The Python hash kernels are "
+        "cache-blocked (functions/minhash.py) specifically so they stay "
+        "compute-bound and scale with cores.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -167,8 +183,8 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
         "docs": docs,
-        f"thr_local{n_lo}": thr_lo,
-        f"thr_local{n_hi}": thr_hi,
+        f"thr_exec{n_lo}": thr_lo,
+        f"thr_exec{n_hi}": thr_hi,
         "efficiency": round(eff, 3),
         "hw_ceiling_efficiency": round(hw_eff, 3) if hw_eff else None,
         "gate_0.8": eff >= 0.8,
