@@ -60,8 +60,15 @@ def resolve_master() -> tuple[str, int, bool]:
 
 def build_bench_session(app_name: str, shuffle_parts: int):
     master, parallelism, is_cluster = resolve_master()
+    extra = {}
+    if is_cluster:
+        # local-cluster[N,c,mem] sets WORKER memory only; without this the
+        # executor JVM silently launches at the 1g default
+        mem = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "3072"))
+        extra["spark.executor.memory"] = f"{max(1024, mem - 512)}m"
     spark = build_session(
-        app_name=app_name, master=master, shuffle_partitions=shuffle_parts
+        app_name=app_name, master=master, shuffle_partitions=shuffle_parts,
+        extra_conf=extra,
     )
     if is_cluster:
         # ship the package the way spark-submit --py-files would; executor
