@@ -88,10 +88,17 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
 
 
 def verify_pairs(pairs: DataFrame, signatures: DataFrame,
-                 cfg: DedupConfig, broadcast_pairs: bool = False) -> DataFrame:
+                 cfg: DedupConfig, broadcast_pairs: bool = False,
+                 key: str = "url") -> DataFrame:
     """Exact re-check at the signature level: dist = 1 - estimated Jaccard
     (fraction of agreeing positions); keep dist <= max_dist. Mirrors the
     reference's distance_cutoff filter (elasticsearchstorebackend.py:55,86).
+
+    `key` names the pair-join key: "url" (streaming path) or "uid" — the
+    compact 8-byte xxhash64(url) the batch band join shuffles instead of
+    url strings (operators/modes.py:_capped_self_join). For key="uid" the
+    signature probe recovers url alongside sig, so the output is always
+    url pairs, canonicalized url_a < url_b.
 
     Two physical shapes (caller picks by MEASURED pair count — pairs come
     out of a materialized checkpoint, so counting is cheap):
@@ -104,28 +111,38 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
       broadcast_pairs=False  plain two-step shuffle join — the safe shape
                              when the pair list itself is huge.
     """
-    sigs = signatures.select("url", "sig")
-    if broadcast_pairs:
-        p = F.broadcast(pairs.select("url_a", "url_b", "score"))
-        ja = sigs.withColumnRenamed("url", "url_a").withColumnRenamed(
-            "sig", "sig_a"
-        ).join(p, "url_a")
-        jb = sigs.withColumnRenamed("url", "url_b").withColumnRenamed(
-            "sig", "sig_b"
-        ).join(F.broadcast(pairs.select("url_a", "url_b")), "url_b")
-        joined = ja.join(jb, ["url_a", "url_b"])
+    ka, kb = f"{key}_a", f"{key}_b"
+    if key == "url":
+        sigs = signatures.select("url", "sig")
+        sa = sigs.select(F.col("url").alias(ka), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("url").alias(kb), F.col("sig").alias("sig_b"))
     else:
-        joined = (
-            pairs.join(sigs.withColumnRenamed("url", "url_a")
-                       .withColumnRenamed("sig", "sig_a"), "url_a")
-            .join(sigs.withColumnRenamed("url", "url_b")
-                  .withColumnRenamed("sig", "sig_b"), "url_b")
+        sigs = signatures.withColumn(key, F.xxhash64("url")).select(
+            key, "url", "sig"
         )
+        sa = sigs.select(
+            F.col(key).alias(ka), F.col("url").alias("url_a"),
+            F.col("sig").alias("sig_a"),
+        )
+        sb = sigs.select(
+            F.col(key).alias(kb), F.col("url").alias("url_b"),
+            F.col("sig").alias("sig_b"),
+        )
+    if broadcast_pairs:
+        ja = sa.join(F.broadcast(pairs.select(ka, kb, "score")), ka)
+        jb = sb.join(F.broadcast(pairs.select(ka, kb)), kb)
+        joined = ja.join(jb, [ka, kb])
+    else:
+        joined = pairs.join(sa, ka).join(sb, kb)
     est_j = est_jaccard_col(F.col("sig_a"), F.col("sig_b"))
     return (
         joined.withColumn("dist", (F.lit(1.0) - est_j))
         .where(F.col("dist") <= F.lit(float(cfg.max_dist)))
-        .select("url_a", "url_b", "dist", "score")
+        .select(
+            F.least("url_a", "url_b").alias("url_a"),
+            F.greatest("url_a", "url_b").alias("url_b"),
+            "dist", "score",
+        )
     )
 
 

@@ -39,7 +39,15 @@ def source_of(url, cfg: DedupConfig):
 
 def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Shared band/bucket self-join with skew handling; returns
-    (url_a, url_b, score = #shared buckets).
+    (uid_a, uid_b, score = #shared buckets), uid = xxhash64(url).
+
+    The join shuffles COMPACT 8-byte uids, not ~60-byte url strings — at
+    32-48 band rows per doc that cuts band-table and pair-agg shuffle bytes
+    ~3x. Callers map uids back to urls when they join the signature table
+    for verification (which they need anyway). Collision odds are birthday-
+    bounded (~n^2/2^65: ~6e-8 at 1.5M docs); a collision can only ADD a
+    candidate pair, which exact verification then scores on true content —
+    at 10^11+ docs assign a surrogate int64 key at ingest instead.
 
     Scope (P7): when cfg.across_sources is False the url's source joins as
     an extra bucket key, so pairs can only form within one source — and
@@ -49,7 +57,7 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     Three bucket tiers (north_rule "salted repartitioning for hot LSH
     buckets, skew-aware band-key aggregation"):
       size <= salt_threshold   plain equi-self-join
-      size <= bucket_cap       SALTED: A-side keyed by hash(url) % n_salts,
+      size <= bucket_cap       SALTED: A-side keyed by uid % n_salts,
                                B-side replicated to every salt, join on
                                (band, salt) — each pair produced exactly
                                once, O(s^2) work spread over n_salts tasks
@@ -58,9 +66,11 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
                                residual imbalance
     """
     keys = ["band_id", "band_hash"]
+    bands = bands.withColumn("uid", F.xxhash64("url"))
     if not cfg.across_sources:
         bands = bands.withColumn("_src", source_of(F.col("url"), cfg))
         keys = keys + ["_src"]
+    bands = bands.select("uid", *keys)
     # the band table fans out to five consumers (sizes agg, hot/warm
     # anti/semi joins, both self-join sides); without persisting, each one
     # re-explodes the signatures and re-hashes every band. sizes likewise
@@ -92,13 +102,13 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         a, b = cool.alias("a"), cool.hint("shuffle_merge").alias("b")
         cool_pairs = (
             a.join(b, keys)
-            .where(F.col("a.url") < F.col("b.url"))
-            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+            .where(F.col("a.uid") < F.col("b.uid"))
+            .select(F.col("a.uid").alias("uid_a"), F.col("b.uid").alias("uid_b"))
         )
 
         n_salts = max(1, cfg.n_salts)
         wa = warm_rows.withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
+            "salt", F.pmod(F.col("uid"), F.lit(n_salts).cast("long"))
         ).alias("a")
         wb = (
             warm_rows.withColumn(
@@ -114,13 +124,13 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
         warm_pairs = (
             wa.join(wb, keys + ["salt"])
-            .where(F.col("a.url") < F.col("b.url"))
-            .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+            .where(F.col("a.uid") < F.col("b.uid"))
+            .select(F.col("a.uid").alias("uid_a"), F.col("b.uid").alias("uid_b"))
         )
 
         scored = (
             cool_pairs.unionByName(warm_pairs)
-            .groupBy("url_a", "url_b")
+            .groupBy("uid_a", "uid_b")
             .agg(F.count("*").cast("double").alias("score"))
         )
         # materialize the (post-aggregation, much smaller) pair table so the
@@ -148,6 +158,7 @@ def minhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     return _minhash.verify_pairs(
         pairs, signatures, cfg,
         broadcast_pairs=n_pairs <= cfg.broadcast_pairs_limit,
+        key="uid",
     )
 
 
@@ -166,21 +177,29 @@ def simhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.explode(simhash_blocks(F.col("simhash"), n_blocks)).alias("b"),
     ).select("url", "b.band_id", "b.band_hash")
     pairs = _capped_self_join(bands, cfg)
-    sh = signatures.select("url", "simhash")
+    sh = signatures.withColumn("uid", F.xxhash64("url")).select(
+        "uid", "url", "simhash"
+    )
     joined = (
         pairs.join(
-            sh.select(F.col("url").alias("url_a"), F.col("simhash").alias("h_a")),
-            "url_a",
+            sh.select(F.col("uid").alias("uid_a"), F.col("url").alias("url_a"),
+                      F.col("simhash").alias("h_a")),
+            "uid_a",
         ).join(
-            sh.select(F.col("url").alias("url_b"), F.col("simhash").alias("h_b")),
-            "url_b",
+            sh.select(F.col("uid").alias("uid_b"), F.col("url").alias("url_b"),
+                      F.col("simhash").alias("h_b")),
+            "uid_b",
         )
     )
     dist = hamming_col(F.col("h_a"), F.col("h_b")) / F.lit(float(cfg.simhash_bits))
     return (
         joined.withColumn("dist", dist)
         .where(F.col("dist") <= F.lit(float(cfg.max_dist)))
-        .select("url_a", "url_b", "dist", "score")
+        .select(
+            F.least("url_a", "url_b").alias("url_a"),
+            F.greatest("url_a", "url_b").alias("url_b"),
+            "dist", "score",
+        )
     )
 
 
@@ -199,12 +218,16 @@ def substring_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         "url", F.posexplode("sub_keys").alias("band_id", "band_hash")
     ).withColumn("band_id", F.lit(0))  # key identity is the bucket
     pairs = _capped_self_join(bands, cfg)
-    sizes = signatures.select("url", F.size("sub_keys").alias("nk"))
+    sizes = signatures.withColumn("uid", F.xxhash64("url")).select(
+        "uid", "url", F.size("sub_keys").alias("nk")
+    )
     joined = (
-        pairs.join(sizes.select(F.col("url").alias("url_a"),
-                                F.col("nk").alias("nk_a")), "url_a")
-        .join(sizes.select(F.col("url").alias("url_b"),
-                           F.col("nk").alias("nk_b")), "url_b")
+        pairs.join(sizes.select(F.col("uid").alias("uid_a"),
+                                F.col("url").alias("url_a"),
+                                F.col("nk").alias("nk_a")), "uid_a")
+        .join(sizes.select(F.col("uid").alias("uid_b"),
+                           F.col("url").alias("url_b"),
+                           F.col("nk").alias("nk_b")), "uid_b")
     )
     containment = F.col("score") / F.least(F.col("nk_a"), F.col("nk_b"))
     return (
@@ -213,7 +236,11 @@ def substring_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             (F.col("dist") <= F.lit(float(cfg.max_dist)))
             & (F.col("score") >= cfg.min_shared_keys)
         )
-        .select("url_a", "url_b", "dist", "score")
+        .select(
+            F.least("url_a", "url_b").alias("url_a"),
+            F.greatest("url_a", "url_b").alias("url_b"),
+            "dist", "score",
+        )
     )
 
 

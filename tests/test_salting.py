@@ -30,9 +30,17 @@ def test_salted_equals_plain(spark):
     salted_cfg = DedupConfig(bucket_cap=20, salt_threshold=4, n_salts=5)
     plain_cfg = DedupConfig(bucket_cap=20, salt_threshold=10**9)
 
+    # _capped_self_join emits compact uid pairs; translate back to urls
+    uid_of = {
+        r["uid"]: r["url"]
+        for r in bands.select(
+            F.xxhash64("url").alias("uid"), "url"
+        ).distinct().collect()
+    }
+
     def collect(cfg):
         return {
-            (r["url_a"], r["url_b"]): r["score"]
+            tuple(sorted((uid_of[r["uid_a"]], uid_of[r["uid_b"]]))): r["score"]
             for r in _capped_self_join(bands, cfg).collect()
         }
 
