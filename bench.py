@@ -52,7 +52,7 @@ def resolve_master() -> tuple[str, int, bool]:
     execs = os.environ.get("SPARK_GRAFT_EXECUTORS")
     if execs:
         n = int(execs)
-        mem = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "3072"))
+        mem = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "4096"))
         return f"local-cluster[{n},1,{mem}]", n, True
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return f"local[{cpus}]", cpus, False

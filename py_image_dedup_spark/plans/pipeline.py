@@ -167,13 +167,20 @@ def run_dedup_pipeline(
     if needs_meta:
         hashed = hashed.withColumn("meta", extract_meta_udf(F.col("html")))
 
-    # normalized+hashed projection feeds two stages; cache it (deserialized
-    # columnar in memory, spills to disk) instead of recomputing the regex
-    # normalization + sha2 per consumer
+    # normalized+hashed projection feeds two stages; cache it instead of
+    # recomputing the regex normalization + sha2 per consumer. SERIALIZED
+    # storage (MEMORY_AND_DISK, not the deserialized default): norm_text
+    # makes this corpus-sized, and a deserialized on-heap cache larger than
+    # the executor heap dies of GC churn (measured: exit 52 at 1.5M docs on
+    # a 2.5g executor) instead of evicting; serialized blocks are ~2-3x
+    # smaller and evict cleanly — the only cache mode that survives
+    # data >> memory, which is the 100 TB operating point.
+    from pyspark import StorageLevel
+
     hashed_full = hashed.select(
         "url", "warc_ts", "content_hash", "n_bytes", "n_chars", "norm_text",
         *meta_cols,
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     results: dict[str, DataFrame] = {}
 

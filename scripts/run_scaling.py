@@ -64,7 +64,7 @@ def cpu_probe(levels=(1, 2, 4, 8, 16, 32), reps=3) -> dict[int, float]:
 def bench_once(cpus: int, sf_dir: str, groups: int | None) -> dict:
     env = dict(
         os.environ,
-        SPARK_GRAFT_EXECUTORS=str(cpus),  # N one-core/3g executor JVMs
+        SPARK_GRAFT_EXECUTORS=str(cpus),  # N one-core/4g executor JVMs
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_PIPELINE_ONLY="1",
     )
@@ -72,8 +72,11 @@ def bench_once(cpus: int, sf_dir: str, groups: int | None) -> dict:
         env["BENCH_GROUPS"] = str(groups)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
+        env=env, capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench.py failed (rc={out.returncode}) at {cpus} executors")
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -132,10 +135,11 @@ def main() -> None:
         f"core each), where the hardware ceiling is {hw_eff:.2f} "
         "efficiency." if hw_eff else "",
         "",
-        "Executor model: local-cluster[N,1,3072] — N separate executor "
-        "JVMs, 1 core + 3 GiB each, package shipped via --py-files-style "
-        "addPyFile; per-executor resources constant across levels, exactly "
-        "how adding executors to a real cluster scales memory with cores.",
+        "Executor model: local-cluster[N,1,4096] — N separate executor "
+        "JVMs, 1 core + 4 GiB each (3.5g heap), package shipped via "
+        "--py-files-style addPyFile; per-executor resources constant "
+        "across levels, exactly how adding executors to a real cluster "
+        "scales memory with cores.",
         "",
         f"## Pipeline results (N = {n_lo} executors, 4N = {n_hi} executors)",
         "",
