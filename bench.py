@@ -52,10 +52,14 @@ def resolve_master() -> tuple[str, int, bool]:
     execs = os.environ.get("SPARK_GRAFT_EXECUTORS")
     if execs:
         n = int(execs)
-        mem = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "4096"))
+        mem = executor_mem_mb()
         return f"local-cluster[{n},1,{mem}]", n, True
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return f"local[{cpus}]", cpus, False
+
+
+def executor_mem_mb() -> int:
+    return int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "4096"))
 
 
 def build_bench_session(app_name: str, shuffle_parts: int):
@@ -64,8 +68,7 @@ def build_bench_session(app_name: str, shuffle_parts: int):
     if is_cluster:
         # local-cluster[N,c,mem] sets WORKER memory only; without this the
         # executor JVM silently launches at the 1g default
-        mem = int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "3072"))
-        extra["spark.executor.memory"] = f"{max(1024, mem - 512)}m"
+        extra["spark.executor.memory"] = f"{max(1024, executor_mem_mb() - 512)}m"
     spark = build_session(
         app_name=app_name, master=master, shuffle_partitions=shuffle_parts,
         extra_conf=extra,
