@@ -61,6 +61,19 @@ def cpu_probe(levels=(1, 2, 4, 8, 16, 32), reps=3) -> dict[int, float]:
     return out
 
 
+def probe4(reps: int = 1) -> float:
+    """Quick 4-thread spin probe (tasks/s) — the quiet-host detector."""
+    import multiprocessing as mp
+
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        with mp.Pool(4) as p:
+            p.map(_spin, range(4))
+        walls.append(time.time() - t0)
+    return round(4 / statistics.median(walls), 2)
+
+
 def bench_once(cpus: int, sf_dir: str, groups: int | None) -> dict:
     env = dict(
         os.environ,
@@ -94,9 +107,42 @@ def main() -> None:
 
     results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     bench_once(n_hi, sf_dir, groups)  # warm-up, discarded; generates corpus
+
+    # Probe-gated acceptance (pre-declared in round-1 NEXT.md): a timed run
+    # counts only if a 4-thread spin probe BOTH before and after it shows a
+    # quiet host. Co-tenant storms hit the 4N level ~2x harder than the N
+    # level (a 1-core job almost always finds a free core; a 4-core job
+    # competes), which biases E DOWNWARD — gating conditions measurement on
+    # machine availability, never on the measured value. All discards are
+    # counted and disclosed in the report.
+    quiet_ref = probe[4]
+    discards: dict[int, int] = {n_lo: 0, n_hi: 0}
+
+    def gated_bench(cpus: int) -> dict:
+        nonlocal quiet_ref
+        for attempt in range(8):
+            pre = probe4()
+            quiet_ref = max(quiet_ref, pre)
+            if pre < 0.9 * quiet_ref:
+                print(f"  [probe {pre} < 0.9x{quiet_ref}: host busy, wait 60s]",
+                      flush=True)
+                time.sleep(60)
+                continue
+            res = bench_once(cpus, sf_dir, groups)
+            post = probe4()
+            quiet_ref = max(quiet_ref, post)
+            if post >= 0.9 * quiet_ref:
+                return res
+            discards[cpus] += 1
+            print(f"  [post-probe {post} < 0.9x{quiet_ref}: storm mid-run, "
+                  f"discarding {cpus}-exec run]", flush=True)
+        # host never went quiet: take one ungated run, flagged
+        discards[cpus] += 1000  # sentinel: report marks level as noisy
+        return bench_once(cpus, sf_dir, groups)
+
     for r in range(runs):
         for cpus in (n_lo, n_hi):  # interleave so load noise hits both
-            res = bench_once(cpus, sf_dir, groups)
+            res = gated_bench(cpus)
             results[cpus].append(res)
             print(
                 f"run {r + 1} local[{cpus}]: pipeline "
@@ -171,6 +217,15 @@ def main() -> None:
         f"{[r['dedup_docs_per_sec'] for r in results[n_lo]]}",
         f"- {n_hi} executor(s): "
         f"{[r['dedup_docs_per_sec'] for r in results[n_hi]]}",
+        "",
+        "Probe-gated acceptance: each timed run counts only if a 4-thread "
+        "spin probe both before and after it reads >= 0.9x the session's "
+        "best (quiet host); runs bracketing a co-tenant storm are discarded "
+        "and redone (criterion pre-declared in round-1 NEXT.md — gating is "
+        "on machine availability, never on the measured value). Discarded "
+        f"runs: {discards[n_lo] % 1000} at N, {discards[n_hi] % 1000} at 4N"
+        + (" (host never went quiet at some level: >=1 ungated run kept, "
+           "flagged)" if max(discards.values()) >= 1000 else "") + ".",
         "",
         "Caveats: shared multi-tenant host — co-tenant load adds 1.5-2x "
         "run-to-run noise (hence medians over interleaved runs); "
