@@ -41,6 +41,12 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Don't hold task slots idle waiting for cache-block locality: with
+        # multiple executors the scheduler would wait up to 3s per locality
+        # level for the executor holding a persisted block, a stall a 1-exec
+        # run never pays (everything is process-local there). Non-local reads
+        # are a streamed block fetch — far cheaper than idling the slot.
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

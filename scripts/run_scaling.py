@@ -140,17 +140,34 @@ def main() -> None:
         discards[cpus] += 1000  # sentinel: report marks level as noisy
         return bench_once(cpus, sf_dir, groups)
 
+    progress_path = os.path.join(REPO, "BENCH", "runs", "current_protocol.jsonl")
+    os.makedirs(os.path.dirname(progress_path), exist_ok=True)
+
     for r in range(runs):
         for cpus in (n_lo, n_hi):  # interleave so load noise hits both
             res = gated_bench(cpus)
             results[cpus].append(res)
+            with open(progress_path, "a") as f:
+                f.write(json.dumps({"cycle": r + 1, "execs": cpus,
+                                    "discards": dict(discards), **res}) + "\n")
             print(
                 f"run {r + 1} local[{cpus}]: pipeline "
                 f"{res['queries']['pipeline_e2e']}s "
                 f"({res['dedup_docs_per_sec']} docs/s)",
                 flush=True,
             )
+        if results[n_lo] and results[n_hi]:
+            # persist a report after every full cycle so a wall-clock cut
+            # mid-protocol still leaves a valid (smaller-sample) result
+            write_report(results, probe, discards, runs=r + 1,
+                         n_lo=n_lo, n_hi=n_hi, ratio=ratio)
 
+    summary = write_report(results, probe, discards, runs=runs,
+                           n_lo=n_lo, n_hi=n_hi, ratio=ratio)
+    print(json.dumps(summary))
+
+
+def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio) -> dict:
     def med(cpus: int, key: str) -> float:
         return statistics.median(r["queries"][key] for r in results[cpus])
 
@@ -240,7 +257,7 @@ def main() -> None:
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({
+    return {
         "docs": docs,
         f"thr_exec{n_lo}": thr_lo,
         f"thr_exec{n_hi}": thr_hi,
@@ -248,7 +265,7 @@ def main() -> None:
         "hw_ceiling_efficiency": round(hw_eff, 3) if hw_eff else None,
         "gate_0.8": eff >= 0.8,
         "out": out_path,
-    }))
+    }
 
 
 if __name__ == "__main__":
