@@ -33,6 +33,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _mem_mb() -> int:
+    return int(os.environ.get("SPARK_GRAFT_EXECUTOR_MEM_MB", "4096"))
+
+
 def _spin(_):
     x = 1.0
     for _ in range(8_000_000):
@@ -128,7 +132,15 @@ def main() -> None:
                       flush=True)
                 time.sleep(60)
                 continue
-            res = bench_once(cpus, sf_dir, groups)
+            try:
+                res = bench_once(cpus, sf_dir, groups)
+            except RuntimeError as exc:
+                # a crashed bench run (e.g. co-tenant memory storm) must not
+                # kill the whole protocol; count it as a discard and retry
+                discards[cpus] += 1
+                print(f"  [bench run failed, retrying: {exc}]", flush=True)
+                time.sleep(30)
+                continue
             post = probe4()
             quiet_ref = max(quiet_ref, post)
             if post >= 0.9 * quiet_ref:
@@ -198,11 +210,13 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio) -> dict:
         f"core each), where the hardware ceiling is {hw_eff:.2f} "
         "efficiency." if hw_eff else "",
         "",
-        "Executor model: local-cluster[N,1,4096] — N separate executor "
-        "JVMs, 1 core + 4 GiB each (3.5g heap), package shipped via "
+        f"Executor model: local-cluster[N,1,{_mem_mb()}] — N separate "
+        f"executor JVMs, 1 core + {_mem_mb()} MiB each "
+        f"({max(1024, _mem_mb() - 512)}m heap), package shipped via "
         "--py-files-style addPyFile; per-executor resources constant "
         "across levels, exactly how adding executors to a real cluster "
-        "scales memory with cores.",
+        "scales memory with cores (executor memory sized so one cached "
+        "corpus partition's columnar build fits the heap).",
         "",
         f"## Pipeline results (N = {n_lo} executors, 4N = {n_hi} executors)",
         "",
