@@ -462,6 +462,23 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "rank", "neighbor_id")
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means codebook routes corpus to cells, queries probe
+    cells, exact cosine re-rank; operators/similarity.py:ivf_topk). Probed
+    at nprobe = nlist, where IVF provably degenerates to exact brute force
+    — which makes the full plan (codebook training, Arrow-batched cell
+    assignment, cell equi-join, window re-rank) hash-checkable against a
+    plain SQL top-k oracle. Small-nprobe recall is pytest-gated
+    (tests/test_similarity_and_more.py)."""
+    from py_image_dedup_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return ivf_topk(queries_df, emb, k=5, nlist=16, nprobe=16).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
 # ------------------------------------------------------------------ driver
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -487,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_pairs": q_scoped_pairs,
         "connected_components": q_connected_components,
         "ann_topk": q_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
@@ -661,6 +679,23 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
               FROM embeddings WHERE vec_id < 8
+            ), c AS (
+              SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+            ), s AS (
+              SELECT qid, nid,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY list_cosine_similarity(qv, cv) DESC, nid ASC
+                     ) AS rank
+              FROM q, c WHERE qid != nid
+            )
+            SELECT qid AS query_id, rank, nid AS neighbor_id
+            FROM s WHERE rank <= 5
+        """,
+        "ivf_ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id >= 8 AND vec_id < 16
             ), c AS (
               SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
             ), s AS (

@@ -192,6 +192,63 @@ def test_lsh_topk_recall_vs_bruteforce(emb, spark):
     assert top1 == {i: 1000 + i for i in range(5)}
 
 
+def test_ivf_topk_full_probe_equals_bruteforce(emb, spark):
+    """nprobe = nlist probes every cell — IVF must EQUAL brute force
+    (same ids, ranks, and tie-breaks), the exact-degeneration oracle."""
+    from py_image_dedup_spark.operators.similarity import ivf_topk
+
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb.where("vec_id < 5"), emb, k=3).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb.where("vec_id < 5"), emb, k=3, nlist=8, nprobe=8
+        ).collect()
+    )
+    assert full == exact
+
+
+def test_ivf_topk_finds_planted_twin_at_small_nprobe(emb, spark):
+    """A scaled copy lands in the same cell as its source (identical
+    direction => identical argmax centroid), so even nprobe=1 must
+    return the twin as rank 1."""
+    from py_image_dedup_spark.operators.similarity import ivf_topk
+
+    res = ivf_topk(emb.where("vec_id < 5"), emb, k=3, nlist=8, nprobe=1)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in res.where("rank = 1").collect()
+    }
+    assert top1 == {i: 1000 + i for i in range(5)}
+
+
+def test_ivf_codebook_deterministic_and_reusable(emb, spark):
+    from py_image_dedup_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    c1 = train_ivf_centroids(emb, nlist=8, seed=7)
+    c2 = train_ivf_centroids(emb, nlist=8, seed=7)
+    assert np.array_equal(c1, c2)  # bit-stable codebook (fixture safety)
+    # pre-trained codebook path returns the same result as self-training
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb.where("vec_id < 5"), emb, k=3, nlist=8, nprobe=8, seed=7
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb.where("vec_id < 5"), emb, k=3, nprobe=8, centroids=c1
+        ).collect()
+    )
+    assert a == b
+
+
 def test_embedding_neardup_pairs(emb, spark):
     got = {
         (r["id_a"], r["id_b"])
