@@ -36,16 +36,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--synthetic-groups", type=int, default=0,
                    help="generate a synthetic corpus instead of --input")
     p.add_argument("--output", required=True, help="checkpoint/output dir")
-    p.add_argument("--mode", default="minhash",
+    # config-mapped flags default to None = "not given on the command line";
+    # the effective value then comes from the layered sources (dataclass
+    # default < YAML < env), with an explicit flag as the top layer —
+    # mirroring the reference's container-app-conf precedence (config.py:58-66)
+    p.add_argument("--config-yaml", default=None,
+                   help="optional YAML config file (lowest-priority layer)")
+    p.add_argument("--mode", default=None,
                    choices=["minhash", "simhash", "substring"])
-    p.add_argument("--max-dist", type=float, default=0.10)
-    p.add_argument("--shingle-k", type=int, default=10)
-    p.add_argument("--num-hashes", type=int, default=128)
-    p.add_argument("--bands", type=int, default=32)
-    p.add_argument("--rows", type=int, default=4)
-    p.add_argument("--bucket-cap", type=int, default=1000)
-    p.add_argument("--rules", default=",".join(DEFAULT_RULES),
-                   help="comma-separated prioritization rules")
+    p.add_argument("--max-dist", type=float, default=None)
+    p.add_argument("--shingle-k", type=int, default=None)
+    p.add_argument("--num-hashes", type=int, default=None)
+    p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--bucket-cap", type=int, default=None)
+    p.add_argument("--rules", default=None,
+                   help="comma-separated prioritization rules "
+                        f"(default: {','.join(DEFAULT_RULES)})")
     p.add_argument("--max-ts-delta-s", type=float, default=None)
     p.add_argument(
         "--stages", default="all",
@@ -60,25 +67,39 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def build_config(args: argparse.Namespace) -> DedupConfig:
+    """Layered effective config: defaults < --config-yaml < env vars
+    (PY_IMAGE_DEDUP_SPARK_*) < explicit command-line flags."""
+    from py_image_dedup_spark.config import config_from_sources
+
+    flag_map = {
+        "mode": args.mode,
+        "max_dist": args.max_dist,
+        "shingle_k": args.shingle_k,
+        "num_hashes": args.num_hashes,
+        "lsh_bands": args.bands,
+        "lsh_rows": args.rows,
+        "bucket_cap": args.bucket_cap,
+        "max_ts_delta_s": args.max_ts_delta_s,
+    }
+    overrides = {k: v for k, v in flag_map.items() if v is not None}
+    if args.rules is not None:
+        overrides["prioritization_rules"] = tuple(
+            r for r in args.rules.split(",") if r
+        )
+    if args.dry_run:
+        overrides["dry_run"] = True
+    return config_from_sources(yaml_path=args.config_yaml, **overrides)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     if not args.input and not args.synthetic_groups:
         print("error: need --input or --synthetic-groups", file=sys.stderr)
         return 2
-    cfg = DedupConfig(
-        mode=args.mode,
-        max_dist=args.max_dist,
-        shingle_k=args.shingle_k,
-        num_hashes=args.num_hashes,
-        lsh_bands=args.bands,
-        lsh_rows=args.rows,
-        bucket_cap=args.bucket_cap,
-        prioritization_rules=tuple(r for r in args.rules.split(",") if r),
-        max_ts_delta_s=args.max_ts_delta_s,
-        dry_run=args.dry_run,
-    )
+    cfg = build_config(args)
     spark = build_session(
-        app_name=f"dedup-{args.mode}",
+        app_name=f"dedup-{cfg.mode}",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
