@@ -20,7 +20,12 @@ from py_image_dedup_spark.functions.textstats import (
     token_count_col,
 )
 from py_image_dedup_spark.operators.components import connected_components
-from py_image_dedup_spark.operators.multimodal import image_features, sample_frames
+from py_image_dedup_spark.operators.multimodal import (
+    audio_features,
+    image_features,
+    resize_images,
+    sample_frames,
+)
 from py_image_dedup_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
@@ -372,3 +377,46 @@ def test_sample_frames_fanout(spark):
     assert [(r["url"], r["frame_idx"]) for r in got] == [
         ("v1", 0), ("v1", 5), ("v1", 10)
     ]
+
+
+def test_audio_features_stub_plumbing(spark):
+    rows = [("a1", b"wav-one"), ("a2", b"wav-two"), ("a3", None)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in audio_features(df, fake=True).collect()}
+    assert set(got) == {"a1", "a2", "a3"}
+    assert got["a1"]["loudness_fp"] != got["a2"]["loudness_fp"]
+    assert got["a1"]["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert got["a1"]["duration_s"] > 0
+    assert got["a3"]["n_bytes"] == 0
+    again = {
+        r["url"]: r["loudness_fp"]
+        for r in audio_features(df, fake=True).collect()
+    }
+    assert again == {u: r["loudness_fp"] for u, r in got.items()}
+
+
+def test_audio_features_real_decode_raises(spark):
+    df = spark.createDataFrame([("a", b"x")], "url string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|audio decoding"):
+        audio_features(df, fake=False).collect()
+
+
+def test_resize_images_binary_roundtrip(spark):
+    rows = [("i1", b"img-one"), ("i2", b"img-two")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in resize_images(df, 32, 16, fake=True).collect()}
+    assert all(r["width"] == 32 and r["height"] == 16 for r in got.values())
+    # output payloads are real bytes, content-dependent and deterministic
+    assert isinstance(got["i1"]["payload"], (bytes, bytearray))
+    assert bytes(got["i1"]["payload"]) != bytes(got["i2"]["payload"])
+    again = {
+        r["url"]: bytes(r["payload"])
+        for r in resize_images(df, 32, 16, fake=True).collect()
+    }
+    assert again == {u: bytes(r["payload"]) for u, r in got.items()}
+    # different target size => different re-encode
+    other = {
+        r["url"]: bytes(r["payload"])
+        for r in resize_images(df, 8, 8, fake=True).collect()
+    }
+    assert other["i1"] != again["i1"]
