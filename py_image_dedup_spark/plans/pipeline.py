@@ -289,14 +289,29 @@ def run_dedup_pipeline(
             .join(rep_map, "content_hash")
             .join(rep_dist.withColumnRenamed("url", "rep_url"), "rep_url", "left")
             .select(
-                "url", "cluster_id",
+                "url", "cluster_id", "content_hash",
                 F.coalesce("dist", F.lit(0.0)).alias("dist"),
                 F.coalesce("score", F.lit(0.0)).alias("score"),
                 "n_bytes", "warc_ts", "n_chars", *meta_cols,
             )
         )
         sel = select_keepers(candidates, cfg)
-        return sel.select("url", "cluster_id", "rank", "keep_url", "action")
+        # tier provenance: which dedup tier removed a non-keeper — "exact"
+        # (same normalized content as the keeper: byte-level tier) or "near"
+        # (different content, same similarity cluster: LSH tier). Rides the
+        # existing cluster_id window — no extra shuffle.
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("cluster_id")
+        keeper_hash = F.max(
+            F.when(F.col("rank") == 1, F.col("content_hash"))
+        ).over(wc)
+        tier = F.when(F.col("action") == "keep", F.lit(None).cast("string")) \
+            .when(F.col("content_hash") == keeper_hash, F.lit("exact")) \
+            .otherwise(F.lit("near"))
+        return sel.withColumn("tier", tier).select(
+            "url", "cluster_id", "rank", "keep_url", "action", "tier"
+        )
 
     actions = _checkpointed(
         spark, p("actions"), resume, build_actions, metrics, "actions"

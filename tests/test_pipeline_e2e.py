@@ -88,6 +88,19 @@ def test_golden_clusters_and_keepers(spark, pages, ckpt):
     ).count()
     # copy variants are never keepers (url contains 'copy', later ts)
     assert keepers.where("variant = 'copy'").count() == 0
+    # tier provenance: variants whose NORMALIZED text equals the keeper's
+    # (identical copy; case/whitespace noise) are removed by the exact
+    # tier, genuinely-edited variants by the near (LSH) tier
+    tiers = {
+        (r["variant"], r["tier"])
+        for r in actions.where("action = 'delete'")
+        .select("variant", "tier").distinct().collect()
+    }
+    assert tiers == {
+        ("copy", "exact"), ("casews", "exact"),
+        ("edited", "near"), ("trunc", "near"),
+    }
+    assert actions.where("action = 'keep' AND tier IS NOT NULL").count() == 0
     actions.unpersist()
 
 
