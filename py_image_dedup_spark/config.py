@@ -111,8 +111,14 @@ class DedupConfig:
     # Verification join shape is size-aware too: candidate-pair lists up to
     # this many rows ride as a broadcast into shuffle-free probes of the
     # signature table (signatures never shuffle); above it, plain shuffle
-    # joins. ~130 B/row -> the default caps the broadcast near 250 MB.
-    broadcast_pairs_limit: int = 2_000_000
+    # joins. The broadcast lands TWICE per verify plan and each build-side
+    # hash relation costs ~2-3x the row bytes on the executor heap, so the
+    # default is sized to the session's 64 MB broadcast budget (~130 B/row
+    # x 500k ~ 65 MB): a 3.5 GB executor survives it with full cache +
+    # sort buffers resident (measured: a 2M-row limit OOMed 1-core
+    # executors at 3M docs). Above the limit the shuffle join is the only
+    # shape that scales anyway.
+    broadcast_pairs_limit: int = 500_000
     # When set, run_dedup_pipeline pins spark.sql.shuffle.partitions for its
     # stages (AQE still coalesces down at runtime). None = inherit session.
     # Partition count is a DATA-size knob, not a core-count knob: the scaling
