@@ -274,8 +274,9 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
         f"{[r['dedup_docs_per_sec'] for r in results[n_hi]]}",
         "",
         "Probe-gated acceptance: each timed run counts only if a 4-thread "
-        "spin probe both before and after it reads >= 0.9x the session's "
-        "best (quiet host); runs bracketing a co-tenant storm are discarded "
+        "spin probe both before and after it reads >= 0.9x the rolling "
+        "median of recent probes (quiet host); runs bracketing a co-tenant "
+        "storm are discarded "
         "and redone (criterion pre-declared in round-1 NEXT.md — gating is "
         "on machine availability, never on the measured value). Discarded "
         f"runs: {discards[n_lo] % 1000} at N, {discards[n_hi] % 1000} at 4N"
