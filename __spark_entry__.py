@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from py_image_dedup_spark.config import DedupConfig
 from py_image_dedup_spark.functions.shingles import char_shingles, shingle_set_jaccard
-from py_image_dedup_spark.functions.simhash import hamming_col, make_simhash_udf, simhash_blocks
 from py_image_dedup_spark.functions.textstats import (
     BPE_TOKEN_PATTERN,
     bpe_token_count_col,
@@ -393,40 +392,31 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash mode: bit-block banding candidates + Hamming verification
-    (cutoff = ceil(64*0.1) = 7; 8 blocks give the pigeonhole guarantee)."""
-    cfg = DedupConfig(max_dist=0.1)
-    n_blocks = 8
+    """SimHash mode THROUGH the production operator (operators/modes.py
+    simhash_pairs: pigeonhole bit-block banding via the skew-aware
+    3-tier capped/salted self-join, then Hamming verification at
+    cutoff = ceil(64*0.1) = 7)."""
+    from py_image_dedup_spark.operators.modes import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    cfg = DedupConfig(mode="simhash", max_dist=0.1)
     d = _docs(spark, sf_dir).select("url", "norm_text")
-    sh = d.withColumn("simhash", make_simhash_udf(cfg)(F.col("norm_text")))
-    blocks = sh.select(
-        "url", "simhash",
-        F.explode(simhash_blocks(F.col("simhash"), n_blocks)).alias("blk"),
-    ).select("url", "simhash", "blk.band_id", "blk.band_hash")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.url") < F.col("b.url"))
-        .select(
-            F.col("a.url").alias("url_a"),
-            F.col("b.url").alias("url_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["url_a", "url_b"])
-    )
-    cutoff = cfg.hamming_cutoff
-    return (
-        pairs.withColumn("hamming", hamming_col(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("hamming") <= cutoff)
-        .select("url_a", "url_b", "hamming")
-    )
+    return simhash_pairs(simhash_signatures(d, cfg), cfg)
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-containment mode: content-defined (winnowing-style)
-    sampled keys; pairs where the smaller doc's sampled windows are mostly
-    contained in the other doc."""
+    """Substring-containment mode through the PRODUCTION pair operator
+    (operators/modes.py substring_pairs: capped/salted bucket self-join +
+    containment verify), with the winnowing keys hashed by the ANSI-SQL-
+    expressible polynomial fold (functions/shingles.poly_window_keys, same
+    mod-p fingerprint as functions/textstats.fingerprint_col) instead of
+    xxhash64 — identical content-defined sampling semantics, but the whole
+    pipeline becomes hash-checkable against the DuckDB twin below. At
+    <= bucket_cap docs no bucket is ever excluded, so the operator output
+    provably equals the plain shared-key SQL join."""
+    from py_image_dedup_spark.functions.shingles import poly_window_keys
     from py_image_dedup_spark.operators.modes import (
         substring_pairs,
         substring_signatures,
@@ -434,7 +424,12 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = DedupConfig(mode="substring", max_dist=0.5)
     d = _docs(spark, sf_dir).select("url", "norm_text")
-    sigs = substring_signatures(d, cfg)
+    sigs = substring_signatures(
+        d, cfg,
+        keys_expr=lambda c: poly_window_keys(
+            c, cfg.substring_len, cfg.substring_stride
+        ),
+    )
     return substring_pairs(sigs, cfg)
 
 
@@ -514,13 +509,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "pricing_summary": q_pricing_summary,
         "broadcast_join": q_broadcast_join,
-        # rows-only (iterative / UDF-hash operators)
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_pairs": q_simhash_pairs,
+        # oracle-checked via exact degeneration (production operators whose
+        # candidate set provably covers the truth at this config/scale)
         "substring_pairs": q_substring_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # rows-only (UDF-hash signature spaces with no SQL twin; pytest
+        # brute-force/recall oracles in tests/)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
+
+
+def _fp_sql(expr: str) -> str:
+    """DuckDB polynomial fingerprint of a string expression — the twin of
+    functions/textstats.fingerprint_col and shingles.poly_window_keys:
+    fold(codepoints, (acc, cp) -> (acc*31 + cp) mod 1e9+7); '' -> 0."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"j -> unicode(substr({expr}, j::INT, 1))::BIGINT)), "
+        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -808,5 +818,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, e.label, count(*) AS n
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
             GROUP BY d.lang, e.label
+        """,
+        # Production substring pipeline with SQL-expressible polynomial
+        # window keys: at <= bucket_cap docs no bucket is excluded and the
+        # salted tiers emit each pair exactly once, so the operator output
+        # equals the plain shared-key join below (same winnowing rule, same
+        # mod-p fingerprint as the `fingerprints` oracle).
+        "substring_pairs": f"""
+            WITH d AS (
+              SELECT {_URL} AS url, {_NT} AS nt FROM documents
+            ), w AS (
+              SELECT url, nt,
+                     list_distinct(list_filter(
+                       list_transform(
+                         range(1, greatest(length(nt) - 49, 1) + 1),
+                         i -> {_fp_sql("substr(nt, i::INT, 50)")}),
+                       h -> h % 25 = 0)) AS sampled
+              FROM d
+            ), k AS (
+              SELECT url,
+                     CASE WHEN len(sampled) > 0 THEN sampled
+                          ELSE [{_fp_sql("nt")}] END AS ks
+              FROM w
+            ), e AS (
+              SELECT url, len(ks) AS nk, unnest(ks) AS key FROM k
+            ), pr AS (
+              SELECT a.url AS url_a, b.url AS url_b,
+                     count(*)::DOUBLE AS score,
+                     min(a.nk) AS nk_a, min(b.nk) AS nk_b
+              FROM e a JOIN e b ON a.key = b.key AND a.url < b.url
+              GROUP BY a.url, b.url
+            )
+            SELECT url_a, url_b,
+                   1.0 - score / least(nk_a, nk_b) AS dist, score
+            FROM pr
+            WHERE 1.0 - score / least(nk_a, nk_b) <= 0.5 AND score >= 1
+        """,
+        # Exact-degeneration oracle for the bucketed near-dup operator: a
+        # scaled twin (v, 2v) has sign(dot(2v, h)) == sign(dot(v, h)) for
+        # every hyperplane, so twins land in EVERY shared bucket — the
+        # candidate set provably contains all planted pairs; the exact
+        # cosine re-check then makes the output a subset of the exact
+        # operator's, and on this corpus the exact output is precisely the
+        # planted twins => equality with the same SQL twin as
+        # `embedding_neardup`.
+        "embedding_neardup_lsh": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 200
+            ), e AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+              FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.999
         """,
     }

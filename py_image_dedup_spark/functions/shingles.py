@@ -58,3 +58,91 @@ def substring_keys(col: Column | str, length: int, stride: int) -> Column:
     return F.when(F.size(sampled) > 0, sampled).otherwise(
         F.array(F.xxhash64(c))
     )
+
+
+_poly_keys_udfs: dict = {}
+
+
+def poly_window_keys(col: Column | str, length: int, stride: int) -> Column:
+    """Content-defined substring fingerprints with the SAME winnowing
+    semantics as substring_keys (hash every `length`-char window, keep
+    h ≡ 0 mod `stride`, whole-text-fingerprint fallback) but hashed with
+    the ANSI-SQL-expressible polynomial fold
+
+        fp(s) = fold(codepoints(s), (acc, cp) -> (acc*31 + cp) mod p),
+        p = FINGERPRINT_MOD
+
+    (the same scheme as functions/textstats.fingerprint_col, which the
+    DuckDB ``list_reduce`` twin matches bit-for-bit). This makes the FULL
+    substring-containment pair pipeline — winnow keys -> capped/salted
+    bucket self-join -> containment verify — hash-checkable against a
+    plain SQL oracle; xxhash64 keys (substring_keys) stay the production
+    default (JVM-native, better dispersion).
+
+    Arrow-batched NumPy kernel: per doc, one utf-32 decode + one
+    sliding-window matmul against a cached 31^k table; exact uint64
+    arithmetic (term < 2^51, window sum < 2^57)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from py_image_dedup_spark.config import FINGERPRINT_MOD
+
+    key = (length, stride)
+    if key not in _poly_keys_udfs:
+        p = np.uint64(FINGERPRINT_MOD)
+
+        def make():
+            pow_cache = np.ones(1, dtype=np.uint64)
+
+            def powers(n: int) -> "np.ndarray":
+                nonlocal pow_cache
+                if len(pow_cache) < n:
+                    grown = np.empty(
+                        max(n, 2 * len(pow_cache)), dtype=np.uint64
+                    )
+                    grown[: len(pow_cache)] = pow_cache
+                    for k in range(len(pow_cache), len(grown)):
+                        grown[k] = grown[k - 1] * np.uint64(31) % p
+                    pow_cache = grown
+                return pow_cache
+
+            def fp_whole(codes: "np.ndarray") -> int:
+                n = len(codes)
+                if n == 0:
+                    return 0
+                pw = powers(n)[:n][::-1]
+                return int((codes * pw % p).sum() % p)
+
+            @pandas_udf(ArrayType(LongType()))
+            def keys(texts):
+                out = []
+                for s in texts:
+                    if s is None:
+                        out.append(None)
+                        continue
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.uint64)
+                    n = len(codes)
+                    if n <= length:
+                        # single (possibly short) window == the whole text
+                        hs = np.array([fp_whole(codes)], dtype=np.uint64)
+                    else:
+                        pw = powers(length)[:length][::-1]
+                        wins = np.lib.stride_tricks.sliding_window_view(
+                            codes, length
+                        )
+                        hs = (wins * pw % p).sum(axis=1) % p
+                    samp = np.unique(hs[hs % np.uint64(stride) == 0])
+                    if len(samp) == 0:
+                        samp = np.array([fp_whole(codes)], dtype=np.uint64)
+                    out.append([int(x) for x in samp])
+                return pd.Series(out)
+
+            return keys
+
+        _poly_keys_udfs[key] = make()
+    c = F.col(col) if isinstance(col, str) else col
+    return _poly_keys_udfs[key](c)

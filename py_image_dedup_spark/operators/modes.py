@@ -206,11 +206,20 @@ def simhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 # -------------------------------------------------------------- substring
 
 def substring_signatures(pages_norm: DataFrame, cfg: DedupConfig,
-                         text_col: str = "norm_text") -> DataFrame:
-    return pages_norm.withColumn(
-        "sub_keys",
-        substring_keys(F.col(text_col), cfg.substring_len, cfg.substring_stride),
+                         text_col: str = "norm_text",
+                         keys_expr=None) -> DataFrame:
+    """`keys_expr` (url-independent Column fn of the text column) overrides
+    the key scheme — e.g. functions.shingles.poly_window_keys, the
+    SQL-expressible variant the driver oracle uses; default is the
+    production xxhash64 winnowing (same sampling semantics)."""
+    keys = (
+        keys_expr(F.col(text_col))
+        if keys_expr is not None
+        else substring_keys(
+            F.col(text_col), cfg.substring_len, cfg.substring_stride
+        )
     )
+    return pages_norm.withColumn("sub_keys", keys)
 
 
 def substring_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

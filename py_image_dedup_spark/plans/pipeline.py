@@ -12,9 +12,11 @@ Stages:
   2 signatures   MinHash sigs for one representative per distinct content
                  (exact-dup pre-pass; SURVEY.md §7 risk 3)
   3 pairs        LSH band self-join + verification (J1)
-  4 clusters     connected components over pair edges, fanned back out to
-                 all exact-dup members (A2)
-  5 actions      keep-best-copy window selection (O1-O4)
+  4 clusters     connected components over pair edges (compact int64 uids
+                 through every round), fanned back out to all exact-dup
+                 members WITH the policy input columns attached (A2)
+  5 actions      keep-best-copy window selection (O1-O4) — zero joins,
+                 one window shuffle
   6 metrics      per-stage row counts + durations + hot-bucket report (A5)
 """
 
@@ -242,9 +244,20 @@ def run_dedup_pipeline(
 
     def build_clusters() -> DataFrame:
         cc_stats: dict = {}
+        # Compact-uid CC: every large-star/small-star round shuffles 8-byte
+        # xxhash64(url) ints, not ~60-byte url strings — the same compaction
+        # the band self-join already uses (operators/modes.py
+        # _capped_self_join), with the same birthday-bounded collision odds
+        # (~n^2/2^65; a collision would merge two clusters — at 10^11+ docs
+        # assign a surrogate int64 key at ingest instead). cluster_id is the
+        # component-min uid (long); urls rejoin only at the final fan-out.
+        edges = pairs.select(
+            F.xxhash64("url_a").alias("uid_a"),
+            F.xxhash64("url_b").alias("uid_b"),
+        )
         rep_clusters = connected_components(
-            pairs, vertices=signatures.select("url"), src="url_a", dst="url_b",
-            stats=cc_stats,
+            edges, vertices=signatures.select(F.xxhash64("url").alias("uid")),
+            src="uid_a", dst="uid_b", vertex_col="uid", stats=cc_stats,
         )
         metrics.append(
             {
@@ -253,17 +266,34 @@ def run_dedup_pipeline(
                 "value": float(cc_stats.get("rounds", 0)),
             }
         )
-        # fan rep-level cluster ids back out to every exact-dup member
-        rep_map = signatures.select(
-            "content_hash", F.col("url").alias("rep_url")
-        )
-        return (
-            pages_meta.join(rep_map, "content_hash")
-            .join(
-                rep_clusters.withColumnRenamed("url", "rep_url"),
-                "rep_url",
+        # Per-representative min distance / max score, aggregated at REP
+        # level (uid-keyed, rep-count-sized shuffles) before the corpus
+        # fan-out — the actions stage then needs zero joins, only its
+        # window (the old shape re-joined pages_meta + rep_map + rep_dist
+        # per action row: ~6 shuffle stages, the worst scaler in the 1->4
+        # executor protocol).
+        rep_dist = (
+            pairs.select(F.xxhash64("url_a").alias("uid"), "dist", "score")
+            .unionByName(
+                pairs.select(F.xxhash64("url_b").alias("uid"), "dist", "score")
             )
-            .select("url", "cluster_id")
+            .groupBy("uid")
+            .agg(F.min("dist").alias("dist"), F.max("score").alias("score"))
+        )
+        rep_info = rep_clusters.join(rep_dist, "uid", "left").select(
+            "uid", "cluster_id",
+            F.coalesce("dist", F.lit(0.0)).alias("dist"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+        rep_map = signatures.select(
+            "content_hash", F.xxhash64("url").alias("uid")
+        )
+        rep_level = rep_map.join(rep_info, "uid").drop("uid")
+        # fan rep-level cluster ids + policy inputs out to every exact-dup
+        # member in ONE corpus-scale join (on content_hash)
+        return pages_meta.join(rep_level, "content_hash").select(
+            "url", "cluster_id", "content_hash", "dist", "score",
+            "n_bytes", "warc_ts", "n_chars", *meta_cols,
         )
 
     clusters = _checkpointed(
@@ -274,41 +304,28 @@ def run_dedup_pipeline(
         return _finish()
 
     def build_actions() -> DataFrame:
-        # per-representative min distance to any confirmed peer
-        rep_dist = (
-            pairs.select(F.col("url_a").alias("url"), "dist", "score")
-            .union(pairs.select(F.col("url_b").alias("url"), "dist", "score"))
-            .groupBy("url")
-            .agg(F.min("dist").alias("dist"), F.max("score").alias("score"))
-        )
-        rep_map = signatures.select(
-            "content_hash", F.col("url").alias("rep_url")
-        )
-        candidates = (
-            pages_meta.join(clusters, "url")
-            .join(rep_map, "content_hash")
-            .join(rep_dist.withColumnRenamed("url", "rep_url"), "rep_url", "left")
-            .select(
-                "url", "cluster_id", "content_hash",
-                F.coalesce("dist", F.lit(0.0)).alias("dist"),
-                F.coalesce("score", F.lit(0.0)).alias("score"),
-                "n_bytes", "warc_ts", "n_chars", *meta_cols,
-            )
-        )
-        sel = select_keepers(candidates, cfg)
-        # tier provenance: which dedup tier removed a non-keeper — "exact"
-        # (same normalized content as the keeper: byte-level tier) or "near"
-        # (different content, same similarity cluster: LSH tier). Rides the
-        # existing cluster_id window — no extra shuffle.
+        # the clusters stage already fanned out every policy input column;
+        # this stage is one window shuffle, zero joins
+        sel = select_keepers(clusters, cfg)
+        # Tier provenance: which dedup tier removed a non-keeper — "exact"
+        # iff plain content-hash dedup alone would have removed it, i.e. it
+        # is NOT the policy-best row of its own content_hash group; "near"
+        # iff it IS its content group's best copy and was deleted only
+        # because its representative joined a near-dup cluster. (Keeper-
+        # relative hashing mislabeled exact duplicates of non-keeper
+        # representatives as "near" — ADVICE r2.) The content-group window
+        # rides the cluster window's exchange: HashPartitioning(cluster_id)
+        # satisfies clustering by (cluster_id, content_hash), so this adds
+        # a local sort, not a shuffle.
         from pyspark.sql import Window
 
-        wc = Window.partitionBy("cluster_id")
-        keeper_hash = F.max(
-            F.when(F.col("rank") == 1, F.col("content_hash"))
-        ).over(wc)
-        tier = F.when(F.col("action") == "keep", F.lit(None).cast("string")) \
-            .when(F.col("content_hash") == keeper_hash, F.lit("exact")) \
+        wch = Window.partitionBy("cluster_id", "content_hash")
+        best_in_content = F.min("rank").over(wch)
+        tier = (
+            F.when(F.col("action") == "keep", F.lit(None).cast("string"))
+            .when(F.col("rank") > best_in_content, F.lit("exact"))
             .otherwise(F.lit("near"))
+        )
         return sel.withColumn("tier", tier).select(
             "url", "cluster_id", "rank", "keep_url", "action", "tier"
         )
