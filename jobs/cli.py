@@ -36,7 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "analyse":
         from jobs import dedup_job
 
-        if "--stages" in rest:
+        # catch the '--stages=pairs' equals-form too: argparse is last-wins,
+        # so a leaked flag would be silently overridden (ADVICE r2)
+        if any(a == "--stages" or a.startswith("--stages=") for a in rest):
             print("error: analyse implies --stages signatures", file=sys.stderr)
             return 2
         return dedup_job.main(rest + ["--stages", "signatures"])

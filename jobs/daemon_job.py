@@ -50,6 +50,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(trigger availableNow)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--band-partitions", type=int, default=64)
+    p.add_argument("--metrics", default=None,
+                   help="parquet path for per-micro-batch metrics rows "
+                        "(the reference daemon's live Prometheus-summary "
+                        "analog, stats.py:18-20)")
     p.add_argument("--mode", default=None, choices=[None, "minhash"],
                    help="streaming path is minhash-only for now")
     p.add_argument("--max-dist", type=float, default=None)
@@ -80,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         available_now=args.drain,
         max_files_per_trigger=args.max_files_per_trigger,
         n_band_partitions=args.band_partitions,
+        metrics_path=args.metrics,
     )
     print(f"daemon streaming query started: {query.id}", flush=True)
     query.awaitTermination()

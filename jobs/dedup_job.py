@@ -60,6 +60,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="run the pipeline only up to (and including) this stage; "
              "'signatures' is the reference's analyse-only entry point "
              "(py_image_dedup/cli.py:38-41)")
+    p.add_argument(
+        "--from-stage", default=None,
+        choices=["pages_meta", "signatures", "pairs", "clusters", "actions"],
+        help="rebuild from this stage onward, resuming everything before "
+             "it from committed outputs (implies --resume); "
+             "'--from-stage pairs' is the reference's --skip-analyse-phase "
+             "(py_image_dedup/cli.py:49-52): reuse the committed index, "
+             "redo find/select")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--master", default=None)
@@ -111,9 +119,17 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = spark.read.parquet(args.input)
 
+    resume = args.resume
+    if args.from_stage is not None:
+        from py_image_dedup_spark.plans.pipeline import invalidate_from
+
+        dropped = invalidate_from(args.output, args.from_stage)
+        print(f"rebuilding stages {dropped} (earlier stages resume)")
+        resume = True
+
     until = None if args.stages == "all" else args.stages
     out = run_dedup_pipeline(
-        spark, pages, cfg, args.output, resume=args.resume, until_stage=until
+        spark, pages, cfg, args.output, resume=resume, until_stage=until
     )
     if "actions" in out:
         summary = {

@@ -3,11 +3,20 @@
 A training-data pipeline at 100 TB carries images/audio/video as opaque
 `binary` columns beside typed metadata, and decodes only inside Arrow
 batches at the last moment. The Spark-side plumbing here — schemas,
-mapInPandas batch shape, partition sizing — is real and tested; the
-codec kernels themselves are STUBBED deterministically because the
-image/audio libraries are not in this container (decode_image raises
-NotImplementedError unless `fake=True`, which produces a deterministic
-pseudo-decode suitable for pipeline testing).
+mapInPandas batch shape, partition sizing — is real and tested, and so
+are two REAL pure-NumPy codecs (no external libraries needed):
+
+  * BMP  — uncompressed 24/32-bit BI_RGB, decode + encode
+           (image_features and resize_images run end-to-end on real bytes)
+  * WAV  — RIFF/WAVE PCM 8/16-bit, decode + encode
+           (audio_features runs end-to-end on real bytes)
+
+Payloads in other formats (JPEG/PNG/MP3/video containers) need PIL /
+soundfile / ffmpeg, which are not in this container: the kernels raise
+NotImplementedError for them unless `fake=True`, which produces a
+deterministic pseudo-decode suitable for pipeline testing. A real
+deployment swaps the per-payload decode call inside the same batch
+kernel; the Spark plan is identical.
 
 Pattern mirrors extract_text_udf (functions/normalize.py): payload ->
 features is always Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] over
@@ -17,6 +26,7 @@ Arrow, never per-row Python at the DataFrame level.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,6 +45,129 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 RESIZED_SCHEMA = "url string, width int, height int, payload binary"
+
+
+# ------------------------------------------------------- real codecs (NumPy)
+
+def is_bmp(data: bytes) -> bool:
+    return len(data) >= 54 and data[:2] == b"BM"
+
+
+def is_wav(data: bytes) -> bool:
+    return len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed 24/32-bit BI_RGB BMP -> (width, height, gray float64
+    (h, w)). Pure NumPy: header via struct, pixel rows via one frombuffer
+    + reshape (rows padded to 4 bytes, stored bottom-up unless height<0)."""
+    if not is_bmp(data):
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    nbytes = bpp // 8
+    stride = ((bpp * width + 31) // 32) * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = raw.reshape(h, stride)[:, : width * nbytes]
+    bgr = rows.reshape(h, width, nbytes)[:, :, :3].astype(np.float64)
+    if bottom_up:
+        bgr = bgr[::-1]
+    # simple equal-weight gray (deterministic; phash only needs ordering)
+    return width, h, bgr.mean(axis=2)
+
+
+def encode_bmp(gray_or_rgb: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> 24-bit BI_RGB BMP bytes."""
+    a = np.asarray(gray_or_rgb)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    a = np.clip(a, 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM (8-bit unsigned / 16-bit signed) -> (sample_rate,
+    n_channels, mono float64 samples in [-1, 1]). Iterates RIFF chunks —
+    tolerant of LIST/fact chunks before data."""
+    if not is_wav(data):
+        raise ValueError("not a WAV payload")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        x = np.frombuffer(
+            payload, dtype="<i2", count=len(payload) // 2
+        ).astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    n = (len(x) // channels) * channels
+    mono = x[:n].reshape(-1, channels).mean(axis=1)
+    return rate, channels, mono
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono float samples in [-1, 1] -> 16-bit PCM WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    body = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    return out
+
+
+def _pool8(gray: np.ndarray) -> np.ndarray:
+    """(h, w) -> (8, 8) block means (blocks clamped to >=1 px, so any
+    input >= 1x1 works)."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        y0 = min(int(ys[i]), h - 1)
+        y1 = max(int(ys[i + 1]), y0 + 1)
+        for j in range(8):
+            x0 = min(int(xs[j]), w - 1)
+            x1 = max(int(xs[j + 1]), x0 + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+
+def _resample_nearest(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
+    h, w = gray.shape[:2]
+    yi = np.minimum((np.arange(th) * h) // th, h - 1)
+    xi = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return gray[yi][:, xi]
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -65,28 +198,35 @@ def image_features(
 ) -> DataFrame:
     """(url, payload binary) -> IMAGE_FEATURES_SCHEMA via mapInPandas.
 
-    Real deployment: swap _fake_decode for PIL/libvips inside the same
-    batch kernel; the Spark plan is identical.
+    Real path (fake=False) decodes uncompressed BMP payloads with the
+    pure-NumPy codec above; other formats raise (JPEG/PNG need PIL /
+    libvips — swap the decode call inside the same batch kernel, the
+    Spark plan is identical).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL/libvips (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, gray = _fake_decode(data)
+                if fake:
+                    w, h, gray8 = _fake_decode(data)
+                elif is_bmp(data):
+                    w, h, gray = decode_bmp(data)
+                    gray8 = _pool8(gray)
+                else:
+                    raise NotImplementedError(
+                        "image decoding beyond uncompressed BMP requires "
+                        "PIL/libvips (not in this container); pass "
+                        "fake=True for the deterministic stub"
+                    )
                 rows.append(
                     {
                         "url": url,
                         "width": w,
                         "height": h,
                         "n_bytes": len(data),
-                        "phash": _phash64(gray),
+                        "phash": _phash64(gray8),
                     }
                 )
             yield pd.DataFrame(
@@ -110,23 +250,36 @@ def audio_features(
     fingerprint (the audio analog of phash — near-dup audio detection
     joins on it exactly like the LSH band tables).
 
-    Real deployment: swap _fake_decode for soundfile/ffmpeg inside the
-    same batch kernel; the Spark plan is identical."""
+    Real path (fake=False) decodes RIFF/WAVE PCM payloads with the
+    pure-NumPy codec above: loudness_fp = phash of the |sample| envelope
+    pooled to 8x8. Other formats raise (MP3/OGG need soundfile/ffmpeg —
+    swap the decode call inside the same batch kernel)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decoding requires soundfile/ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(b"audio:" + data).digest()
-                sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
-                duration = round(0.5 + digest[1] / 8.0, 3)
-                _, _, env = _fake_decode(b"env:" + data)
+                if fake:
+                    digest = hashlib.sha256(b"audio:" + data).digest()
+                    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+                    duration = round(0.5 + digest[1] / 8.0, 3)
+                    _, _, env = _fake_decode(b"env:" + data)
+                elif is_wav(data):
+                    sample_rate, _, mono = decode_wav(data)
+                    duration = round(len(mono) / sample_rate, 6)
+                    a = np.abs(mono)
+                    if len(a) >= 64:  # 64 equal time segments, mean |x|
+                        a = a[: (len(a) // 64) * 64].reshape(64, -1).mean(axis=1)
+                    else:
+                        a = np.resize(a, 64) if len(a) else np.zeros(64)
+                    env = a.reshape(8, 8)
+                else:
+                    raise NotImplementedError(
+                        "audio decoding beyond PCM WAV requires "
+                        "soundfile/ffmpeg (not in this container); pass "
+                        "fake=True for the deterministic stub"
+                    )
                 rows.append(
                     {
                         "url": url,
@@ -162,26 +315,37 @@ def resize_images(
     matters at 100 TB: the output stays an opaque binary column (never a
     driver round-trip), written straight back to a table partition-
     aligned with the input scan — mapInPandas preserves partitioning, so
-    no shuffle anywhere."""
+    no shuffle anywhere.
+
+    Real path (fake=False): BMP in -> nearest-neighbor resample of the
+    grayscale plane -> 24-bit BMP out, all pure NumPy; other formats
+    raise."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resizing requires PIL/libvips (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             rows = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                # deterministic fake re-encode: content-derived bytes sized
-                # proportionally to the target area
-                digest = hashlib.sha256(
-                    data + target_w.to_bytes(4, "big")
-                    + target_h.to_bytes(4, "big")
-                ).digest()
-                out_len = max(16, (target_w * target_h) // 64)
-                body = (digest * (out_len // len(digest) + 1))[:out_len]
+                if fake:
+                    # deterministic fake re-encode: content-derived bytes
+                    # sized proportionally to the target area
+                    digest = hashlib.sha256(
+                        data + target_w.to_bytes(4, "big")
+                        + target_h.to_bytes(4, "big")
+                    ).digest()
+                    out_len = max(16, (target_w * target_h) // 64)
+                    body = (digest * (out_len // len(digest) + 1))[:out_len]
+                elif is_bmp(data):
+                    _, _, gray = decode_bmp(data)
+                    body = encode_bmp(
+                        _resample_nearest(gray, target_h, target_w)
+                    )
+                else:
+                    raise NotImplementedError(
+                        "resizing beyond uncompressed BMP requires "
+                        "PIL/libvips (not in this container); pass "
+                        "fake=True for the deterministic stub"
+                    )
                 rows.append(
                     {
                         "url": url,

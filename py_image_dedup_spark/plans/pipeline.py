@@ -103,6 +103,41 @@ def _checkpointed(
     return df
 
 
+def invalidate_from(checkpoint_dir: str, stage: str) -> list[str]:
+    """Force a resumed run to rebuild `stage` and everything after it by
+    deleting their committed outputs; earlier stages stay committed and
+    resume. The complement of `until_stage` — together they give the
+    reference's --skip-analyse-phase semantics (cli.py:49-52: reuse the
+    committed index, redo the find/select phases) as
+    invalidate_from(ckpt, "pairs") + resume=True.
+
+    Raises if a PREDECESSOR of `stage` is not committed (there would be
+    nothing to resume from — the reference flag has the same failure mode
+    when the index is empty). Returns the stages invalidated.
+    """
+    import shutil
+
+    if stage not in STAGES:
+        raise ValueError(f"stage must be one of {STAGES}")
+    idx = STAGES.index(stage)
+    missing = [
+        s for s in STAGES[:idx]
+        if not _done(os.path.join(checkpoint_dir, s))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot rebuild from {stage!r}: earlier stage(s) {missing} "
+            f"have no committed output under {checkpoint_dir}"
+        )
+    dropped = []
+    for s in STAGES[idx:]:
+        path = os.path.join(checkpoint_dir, s)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+            dropped.append(s)
+    return dropped
+
+
 def partition_histogram(df: DataFrame) -> DataFrame:
     """Per-partition row counts for a stage output — the lineage view used
     to spot skew (one shuffle-free pass: spark_partition_id + local agg)."""

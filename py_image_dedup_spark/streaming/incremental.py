@@ -171,6 +171,49 @@ def latest_signatures(sig_log: DataFrame) -> DataFrame:
     )
 
 
+def attach_metrics_listener(spark: SparkSession, metrics_path: str):
+    """Per-micro-batch observability — the daemon analog of the reference's
+    live Prometheus summaries (py_image_dedup/stats.py:18-20, scraped over
+    HTTP while the daemon runs; cli.py:75-78): a StreamingQueryListener
+    that appends one row per completed micro-batch to a parquet metrics
+    log the moment the batch finishes, not at job end.
+
+    Schema: (query_id, batch_id, ts, input_rows, rows_per_sec,
+    trigger_ms). Returns the listener (pass to
+    spark.streams.removeListener to detach)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _BatchMetrics(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            row = (
+                str(p.id),
+                int(p.batchId),
+                str(p.timestamp),
+                int(p.numInputRows),
+                float(p.processedRowsPerSecond or 0.0),
+                float((p.durationMs or {}).get("triggerExecution", 0)),
+            )
+            spark.createDataFrame(
+                [row],
+                "query_id string, batch_id long, ts string, "
+                "input_rows long, rows_per_sec double, trigger_ms double",
+            ).write.mode("append").parquet(metrics_path)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _BatchMetrics()
+    spark.streams.addListener(listener)
+    return listener
+
+
 def run_incremental_stream(
     spark: SparkSession,
     input_path: str,
@@ -181,6 +224,7 @@ def run_incremental_stream(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     n_band_partitions: int = 64,
+    metrics_path: str | None = None,
     schema: str = "url string, warc_ts timestamp, html binary, "
                   "text string, lang string",
 ):
@@ -208,6 +252,9 @@ def run_incremental_stream(
     """
     sig_path = os.path.join(store_path, "sigs")
     bands_path = os.path.join(store_path, "bands")
+
+    if metrics_path is not None:
+        attach_metrics_listener(spark, metrics_path)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

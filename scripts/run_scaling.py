@@ -78,6 +78,15 @@ def probe4(reps: int = 1) -> float:
     return round(4 / statistics.median(walls), 2)
 
 
+def probe1() -> float:
+    """Single-thread spin probe (tasks/s) — sampled across the session so
+    the effective-ceiling denominator has the same variance as its
+    numerator (a single startup reading swings ~1.5x with co-tenant load)."""
+    t0 = time.time()
+    _spin(0)
+    return round(1 / (time.time() - t0), 2)
+
+
 def bench_once(cpus: int, sf_dir: str, groups: int | None) -> dict:
     env = dict(
         os.environ,
@@ -119,28 +128,34 @@ def main() -> None:
     # competes), which biases E DOWNWARD — gating conditions measurement on
     # machine availability, never on the measured value. All discards are
     # counted and disclosed in the report.
-    # quiet reference = median of the most recent probe readings, not the
-    # session max: a single turbo/lull outlier would otherwise ratchet the
-    # bar so high that every later (normal-quiet) window reads "busy" and
-    # the whole protocol degenerates to ungated runs (measured failure
-    # mode: one 12.15 tasks/s reading vs a 9-10 steady state)
+    # quiet reference = median of recent QUIET readings, floored at 0.8x
+    # the startup sample. Only probes that PASSED the gate enter the
+    # history: appending rejected busy readings let a sustained co-tenant
+    # storm drag the median down to storm level within ~5 probes, after
+    # which noisy runs were accepted as "quiet" without the ungated-run
+    # sentinel (ADVICE r2) — the 8-attempt sentinel below is now the ONLY
+    # way a noisy run enters results. The floor stops the 0.9x acceptance
+    # band from ratcheting the reference down gradually; the median (not
+    # session max) stops one turbo outlier from ratcheting it up
+    # (measured round-2 failure: one 12.15 tasks/s reading vs 9-10 steady).
     probe_hist: list[float] = [probe[4]]
+    probe1_hist: list[float] = [probe[1]]
 
     def quiet_ref() -> float:
         recent = probe_hist[-9:]
-        return statistics.median(recent)
+        return max(statistics.median(recent), 0.8 * probe[4])
 
     discards: dict[int, int] = {n_lo: 0, n_hi: 0}
 
     def gated_bench(cpus: int) -> dict:
         for attempt in range(8):
             pre = probe4()
-            probe_hist.append(pre)
             if pre < 0.9 * quiet_ref():
                 print(f"  [probe {pre} < 0.9x{quiet_ref():.2f}: host busy, "
                       "wait 60s]", flush=True)
                 time.sleep(60)
                 continue
+            probe_hist.append(pre)
             try:
                 res = bench_once(cpus, sf_dir, groups)
             except RuntimeError as exc:
@@ -151,8 +166,9 @@ def main() -> None:
                 time.sleep(30)
                 continue
             post = probe4()
-            probe_hist.append(post)
             if post >= 0.9 * quiet_ref():
+                probe_hist.append(post)
+                probe1_hist.append(probe1())
                 return res
             discards[cpus] += 1
             print(f"  [post-probe {post} < 0.9x{quiet_ref():.2f}: storm "
@@ -182,16 +198,16 @@ def main() -> None:
             # mid-protocol still leaves a valid (smaller-sample) result
             write_report(results, probe, discards, runs=r + 1,
                          n_lo=n_lo, n_hi=n_hi, ratio=ratio,
-                         probe_hist=probe_hist)
+                         probe_hist=probe_hist, probe1_hist=probe1_hist)
 
     summary = write_report(results, probe, discards, runs=runs,
                            n_lo=n_lo, n_hi=n_hi, ratio=ratio,
-                           probe_hist=probe_hist)
+                           probe_hist=probe_hist, probe1_hist=probe1_hist)
     print(json.dumps(summary))
 
 
 def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
-                 probe_hist=None) -> dict:
+                 probe_hist=None, probe1_hist=None) -> dict:
     def med(cpus: int, key: str) -> float:
         return statistics.median(r["queries"][key] for r in results[cpus])
 
@@ -243,17 +259,21 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
             f"| {s} (s, median) | {med(n_lo, s):.1f} | {med(n_hi, s):.1f} |"
         )
     norm = (eff / hw_eff) if hw_eff else None
-    # effective ceiling from the WHOLE probe series, not the one startup
-    # sample: single readings swing ~1.5x with co-tenant load, medians don't
+    # effective ceiling from WHOLE probe series on BOTH sides of the ratio:
+    # the 1-thread denominator is sampled after every accepted run too, so
+    # numerator and denominator have comparable variance (a single startup
+    # reading swings ~1.5x with co-tenant load — ADVICE r2)
     if probe_hist and len(probe_hist) >= 3 and n_lo == 1 and n_hi == 4:
         eff_4 = statistics.median(probe_hist)
-        eff_ceiling = eff_4 / (4 * probe[1])
+        ones = probe1_hist or [probe[1]]
+        eff_1 = statistics.median(ones)
+        eff_ceiling = eff_4 / (4 * eff_1)
         lines += [
             "",
             f"Effective host ceiling over the session: median 4-thread probe "
-            f"{eff_4:.2f} tasks/s across {len(probe_hist)} readings -> "
-            f"ceiling {eff_ceiling:.2f} (the startup sample above is a "
-            "single reading and can swing ~1.5x with co-tenant load).",
+            f"{eff_4:.2f} tasks/s ({len(probe_hist)} quiet readings) / 4 x "
+            f"median 1-thread probe {eff_1:.2f} tasks/s ({len(ones)} "
+            f"readings) -> ceiling {eff_ceiling:.2f}.",
         ]
     lines += [
         "",
@@ -275,8 +295,10 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
         "",
         "Probe-gated acceptance: each timed run counts only if a 4-thread "
         "spin probe both before and after it reads >= 0.9x the rolling "
-        "median of recent probes (quiet host); runs bracketing a co-tenant "
-        "storm are discarded "
+        "median of recent QUIET probes (only gate-passing readings enter "
+        "the history, floored at 0.8x the startup sample — a sustained "
+        "co-tenant storm can never drag the reference down to storm "
+        "level); runs bracketing a storm are discarded "
         "and redone (criterion pre-declared in round-1 NEXT.md — gating is "
         "on machine availability, never on the measured value). Discarded "
         f"runs: {discards[n_lo] % 1000} at N, {discards[n_hi] % 1000} at 4N"

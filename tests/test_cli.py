@@ -27,6 +27,36 @@ def test_cli_analyse_rejects_explicit_stages():
     assert cli.main(["analyse", "--output", "/tmp/x", "--stages", "pairs"]) == 2
 
 
+def test_cli_analyse_rejects_stages_equals_form():
+    """argparse is last-wins, so '--stages=pairs' slipping past the check
+    would be silently overridden instead of erroring (ADVICE r2)."""
+    assert cli.main(["analyse", "--output", "/tmp/x", "--stages=pairs"]) == 2
+
+
+def test_invalidate_from_requires_committed_predecessors(tmp_path):
+    """--from-stage (the reference's --skip-analyse-phase analog) must
+    refuse when there is nothing committed to resume from, and must drop
+    exactly the requested suffix of stages otherwise."""
+    import os
+
+    import pytest
+
+    from py_image_dedup_spark.plans.pipeline import STAGES, invalidate_from
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(ValueError, match="no committed output"):
+        invalidate_from(ckpt, "pairs")
+    for s in STAGES:
+        os.makedirs(os.path.join(ckpt, s))
+        open(os.path.join(ckpt, s, "_SUCCESS"), "w").close()
+    dropped = invalidate_from(ckpt, "pairs")
+    assert dropped == ["pairs", "clusters", "actions"]
+    assert os.path.exists(os.path.join(ckpt, "signatures", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(ckpt, "pairs"))
+    with pytest.raises(ValueError, match="must be one of"):
+        invalidate_from(ckpt, "nope")
+
+
 def test_cli_unknown_command():
     assert cli.main(["frobnicate"]) == 2
 

@@ -371,6 +371,57 @@ def test_image_features_real_decode_raises(spark):
         image_features(df, fake=False).collect()
 
 
+def test_image_features_real_bmp_decode(spark):
+    """The real (fake=False) path decodes actual BMP bytes: dimensions from
+    the header, phash identical for identical pixels, different for a
+    different image."""
+    from py_image_dedup_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    img_a = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)  # odd width
+    img_b = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    bmp_a, bmp_b = encode_bmp(img_a), encode_bmp(img_b)
+    # encoder/decoder round-trip is exact (24-bit, gray replicated to RGB)
+    w, h, gray = decode_bmp(bmp_a)
+    assert (w, h) == (17, 24)
+    assert np.array_equal(gray, img_a.astype(np.float64))
+
+    df = spark.createDataFrame(
+        [("a", bmp_a), ("a2", bmp_a), ("b", bmp_b)],
+        "url string, payload binary",
+    )
+    got = {r["url"]: r for r in image_features(df, fake=False).collect()}
+    assert got["a"]["width"] == 17 and got["a"]["height"] == 24
+    assert got["a"]["n_bytes"] == len(bmp_a)
+    assert got["a"]["phash"] == got["a2"]["phash"]
+    assert got["a"]["phash"] != got["b"]["phash"]
+
+
+def test_resize_images_real_bmp_roundtrip(spark):
+    """Real resize: BMP in -> BMP out at the target size, decodable by the
+    same codec, pixel values sampled from the source."""
+    from py_image_dedup_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))  # 16x32 ramp
+    df = spark.createDataFrame(
+        [("g", encode_bmp(grad))], "url string, payload binary"
+    )
+    out = resize_images(df, 8, 4, fake=False).collect()[0]
+    assert (out["width"], out["height"]) == (8, 4)
+    w, h, gray = decode_bmp(bytes(out["payload"]))
+    assert (w, h) == (8, 4)
+    # nearest-neighbor of a horizontal ramp stays a horizontal ramp
+    assert np.all(np.diff(gray, axis=1) > 0)
+    assert np.all(gray == gray[0])
+
+
 def test_sample_frames_fanout(spark):
     df = spark.createDataFrame([("v1", b"vid")], "url string, payload binary")
     got = sample_frames(df, every_nth=5, n_frames=3, fake=True).collect()
@@ -399,6 +450,37 @@ def test_audio_features_real_decode_raises(spark):
     df = spark.createDataFrame([("a", b"x")], "url string, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|audio decoding"):
         audio_features(df, fake=False).collect()
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The real (fake=False) path parses actual PCM WAV bytes: sample rate
+    and duration from the header, loudness fingerprint from the samples."""
+    from py_image_dedup_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate  # 2.0 s
+    quiet_then_loud = np.where(t < 1.0, 0.05, 0.9) * np.sin(
+        2 * np.pi * 440 * t
+    )
+    loud_then_quiet = quiet_then_loud[::-1].copy()
+    wav_a = encode_wav_pcm16(quiet_then_loud, rate)
+    wav_b = encode_wav_pcm16(loud_then_quiet, rate)
+    r, ch, mono = decode_wav(wav_a)
+    assert (r, ch, len(mono)) == (rate, 1, rate * 2)
+
+    df = spark.createDataFrame(
+        [("a", wav_a), ("a2", wav_a), ("b", wav_b)],
+        "url string, payload binary",
+    )
+    got = {r2["url"]: r2 for r2 in audio_features(df, fake=False).collect()}
+    assert got["a"]["sample_rate"] == rate
+    assert got["a"]["duration_s"] == 2.0
+    assert got["a"]["loudness_fp"] == got["a2"]["loudness_fp"]
+    # mirrored loudness envelope => different fingerprint
+    assert got["a"]["loudness_fp"] != got["b"]["loudness_fp"]
 
 
 def test_resize_images_binary_roundtrip(spark):

@@ -67,9 +67,11 @@ def stream_run(spark, tmp_path_factory):
     _write_wave(wave2, os.path.join(input_dir, "wave2.parquet"))
 
     cfg = DedupConfig(max_dist=0.30)
+    metrics_dir = str(root / "metrics")
     q = run_incremental_stream(
         spark, input_dir, store_dir, pairs_dir, cfg,
         available_now=True, max_files_per_trigger=1, n_band_partitions=16,
+        metrics_path=metrics_dir,
     )
     assert q.awaitTermination(300), "stream did not drain in time"
 
@@ -83,6 +85,7 @@ def stream_run(spark, tmp_path_factory):
         "cfg": cfg,
         "store_dir": store_dir,
         "pairs_dir": pairs_dir,
+        "metrics_dir": metrics_dir,
         "final_corpus": final_corpus,
         "reup_url": reup.first()["url"],
     }
@@ -97,6 +100,32 @@ def test_stream_ran_multiple_batches_and_layout(stream_run):
     # banded store is physically partitioned by band_pfx
     bands_dir = os.path.join(stream_run["store_dir"], "bands")
     assert any(d.startswith("band_pfx=") for d in os.listdir(bands_dir))
+
+
+def test_per_batch_metrics_rows_emitted(stream_run):
+    """StreamingQueryListener observability (the reference daemon's live
+    Prometheus-summary analog): one metrics row per micro-batch with the
+    batch's input rows, written while the stream runs."""
+    import time
+
+    spark = stream_run["spark"]
+    sig_log = spark.read.parquet(os.path.join(stream_run["store_dir"], "sigs"))
+    n_batches = sig_log.select("batch_id").distinct().count()
+    # listener events are delivered asynchronously; allow a short settle
+    metrics = None
+    for _ in range(30):
+        try:
+            metrics = spark.read.parquet(stream_run["metrics_dir"])
+            if metrics.select("batch_id").distinct().count() >= n_batches:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    assert metrics is not None, "no metrics rows written"
+    rows = {r["batch_id"]: r for r in metrics.collect()}
+    assert len(rows) >= n_batches
+    assert all(r["input_rows"] > 0 for r in rows.values())
+    assert all(r["trigger_ms"] > 0 for r in rows.values())
 
 
 def test_reupserted_url_resolves_to_latest(stream_run):
