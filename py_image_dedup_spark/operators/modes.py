@@ -37,7 +37,8 @@ def source_of(url, cfg: DedupConfig):
     return F.regexp_extract(url, cfg.source_pattern, 0)
 
 
-def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _capped_self_join(bands: DataFrame, cfg: DedupConfig,
+                      stats: dict | None = None) -> DataFrame:
     """Shared band/bucket self-join with skew handling; returns
     (uid_a, uid_b, score = #shared buckets), uid = xxhash64(url).
 
@@ -85,6 +86,29 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
             (F.col("bucket_size") > cfg.salt_threshold)
             & (F.col("bucket_size") <= cfg.bucket_cap)
         )
+        if stats is not None:
+            # the A5 hot-bucket report: how many buckets each skew tier
+            # caught, and how many band rows the cap excluded. One cheap agg
+            # over the already-persisted sizes table (boilerplate template
+            # pages at web scale land here — nonzero hot counts are the
+            # signal the cap is earning its keep, not an error).
+            tiers = sizes.agg(
+                F.count(F.when(F.col("bucket_size") > cfg.bucket_cap, 1)
+                        ).alias("hot"),
+                F.coalesce(
+                    F.sum(F.when(F.col("bucket_size") > cfg.bucket_cap,
+                                 F.col("bucket_size"))),
+                    F.lit(0),
+                ).alias("hot_rows"),
+                F.count(
+                    F.when(
+                        (F.col("bucket_size") > cfg.salt_threshold)
+                        & (F.col("bucket_size") <= cfg.bucket_cap), 1)
+                ).alias("warm"),
+            ).first()
+            stats["hot_buckets"] = int(tiers["hot"])
+            stats["hot_bucket_rows"] = int(tiers["hot_rows"])
+            stats["warm_buckets"] = int(tiers["warm"])
         live = bands.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
         warm_keys = F.broadcast(warm.select(*keys))
         cool = live.join(warm_keys, keys, "left_anti")
@@ -148,9 +172,10 @@ def minhash_signatures(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     return _minhash.compute_signatures(pages_norm, cfg)
 
 
-def minhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def minhash_pairs(signatures: DataFrame, cfg: DedupConfig,
+                  stats: dict | None = None) -> DataFrame:
     bands = _minhash.explode_bands(signatures, cfg)
-    pairs = _capped_self_join(bands, cfg)
+    pairs = _capped_self_join(bands, cfg, stats)
     # pairs just materialized (checkpoint) — counting is one cheap job, and
     # it picks the verify shape that never shuffles the signature table
     # when the pair list is broadcastable
@@ -170,13 +195,14 @@ def simhash_signatures(pages_norm: DataFrame, cfg: DedupConfig,
     return pages_norm.withColumn("simhash", udf(F.col(text_col)))
 
 
-def simhash_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def simhash_pairs(signatures: DataFrame, cfg: DedupConfig,
+                  stats: dict | None = None) -> DataFrame:
     n_blocks = cfg.hamming_cutoff + 1  # pigeonhole guarantee
     bands = signatures.select(
         "url",
         F.explode(simhash_blocks(F.col("simhash"), n_blocks)).alias("b"),
     ).select("url", "b.band_id", "b.band_hash")
-    pairs = _capped_self_join(bands, cfg)
+    pairs = _capped_self_join(bands, cfg, stats)
     sh = signatures.withColumn("uid", F.xxhash64("url")).select(
         "uid", "url", "simhash"
     )
@@ -222,11 +248,12 @@ def substring_signatures(pages_norm: DataFrame, cfg: DedupConfig,
     return pages_norm.withColumn("sub_keys", keys)
 
 
-def substring_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def substring_pairs(signatures: DataFrame, cfg: DedupConfig,
+                    stats: dict | None = None) -> DataFrame:
     bands = signatures.select(
         "url", F.posexplode("sub_keys").alias("band_id", "band_hash")
     ).withColumn("band_id", F.lit(0))  # key identity is the bucket
-    pairs = _capped_self_join(bands, cfg)
+    pairs = _capped_self_join(bands, cfg, stats)
     sizes = signatures.withColumn("uid", F.xxhash64("url")).select(
         "uid", "url", F.size("sub_keys").alias("nk")
     )
@@ -266,7 +293,8 @@ def signature_stage(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     return MODES[cfg.mode][0](pages_norm, cfg)
 
 
-def pairs_stage(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def pairs_stage(signatures: DataFrame, cfg: DedupConfig,
+                stats: dict | None = None) -> DataFrame:
     if cfg.mode not in MODES:
         raise ValueError(f"unknown mode {cfg.mode!r}; one of {sorted(MODES)}")
-    return MODES[cfg.mode][1](signatures, cfg)
+    return MODES[cfg.mode][1](signatures, cfg, stats)

@@ -268,10 +268,20 @@ def run_dedup_pipeline(
     if until_stage == "signatures":
         return _finish()
 
+    def build_pairs() -> DataFrame:
+        pair_stats: dict = {}
+        out = pairs_stage(signatures, cfg, pair_stats)
+        # A5 hot-bucket report: skew-tier counts from the band self-join
+        for k in ("hot_buckets", "hot_bucket_rows", "warm_buckets"):
+            if k in pair_stats:
+                metrics.append(
+                    {"stage": "pairs", "metric": k,
+                     "value": float(pair_stats[k])}
+                )
+        return out
+
     pairs = _checkpointed(
-        spark, p("pairs"), resume,
-        lambda: pairs_stage(signatures, cfg),
-        metrics, "pairs",
+        spark, p("pairs"), resume, build_pairs, metrics, "pairs"
     )
     results["pairs"] = pairs
     if until_stage == "pairs":

@@ -14,6 +14,16 @@ Variant taxonomy mirrors the reference's test corpus
   trunc      truncated to 88% of chars       (same cluster @ max_dist 0.30)
   copy       identical text, url contains "copy", latest warc_ts
              (same cluster, never keeper)
+  shufpara   paragraph reorder: sentence halves swapped — same words, same
+             normalized LENGTH, different order (same cluster under
+             minhash/simhash; substring containment drops to ~window
+             survival rate by design — reordering is the hash modes' job)
+  boiler     boilerplate-dominated page (fixed ~60-word global template +
+             8 group words), every 10th group: cross-GROUP near-dups that
+             stress the hot-bucket cap — at small corpora they form one
+             template cluster, at scale their mega-buckets trip
+             bucket_cap and are excluded + reported (golden assertions
+             exclude this variant; dedicated tests cover both regimes)
   singleton  unrelated text (odd group ids)  (expected singleton cluster)
 
 Generation is DISTRIBUTED (mapInPandas over spark.range of group ids) and
@@ -70,6 +80,11 @@ def _sample_words(rng: np.random.Generator, n: int) -> np.ndarray:
     return _VOCAB[perm[rng.choice(len(_VOCAB), size=n, p=_VOCAB_P)]]
 
 _BASE_TS = pd.Timestamp("2024-01-01 00:00:00")
+
+# Fixed global boilerplate block (nav/footer template analog): identical
+# across every group, so boiler pages are near-dups of EACH OTHER corpus-
+# wide — the Zipfian mega-bucket shape the hot-bucket cap exists for.
+_BOILER_WORDS = _sample_words(np.random.default_rng(777), 60)
 
 
 def _render(words: np.ndarray) -> str:
@@ -135,13 +150,28 @@ def _group_rows(gid: int, seed: int) -> list[dict]:
 
     trunc = base[: int(len(base) * 0.88)]
 
-    return [
+    # shufpara: swap the sentence halves (split at a 12-word sentence
+    # boundary) — a paragraph reorder. Same words, same rendered length
+    # (periods/capitalization are position-based and n is unchanged), only
+    # ~3 sentence-boundary regions of shingles change => J >= ~0.9 vs base.
+    mid = (n_words // 24) * 12
+    shufpara = _render(np.concatenate([words[mid:], words[:mid]]))
+
+    out = [
         row("original", base, 0, "index.html"),
         row("edited", edited, 60, "edited.html"),
         row("casews", casews, 120, "print.html"),
         row("trunc", trunc, 180, "amp.html"),
+        row("shufpara", shufpara, 240, "mobile.html"),
         row("copy", base, 86400, "copy-of-index.html"),
     ]
+    if gid % 10 == 0:
+        # boilerplate-dominated page: 8 group-specific words + the global
+        # template => distinct content_hash per group (survives the exact
+        # pre-pass) but ~0.78 Jaccard with every OTHER group's boiler page
+        boiler = _render(np.concatenate([words[:8], _BOILER_WORDS]))
+        out.append(row("boiler", boiler, 300, "terms.html"))
+    return out
 
 
 def generate_pages(
@@ -162,10 +192,12 @@ def generate_pages(
 
 def expected_clusters(pages_fixture: DataFrame) -> DataFrame:
     """Golden expectations at max_dist=0.30: all variants of an even group
-    share one cluster keyed by the original's url; keeper = original."""
+    share one cluster keyed by the original's url; keeper = original.
+    `boiler` pages are excluded — they cluster ACROSS groups by design
+    (or get capped at scale); dedicated tests cover both regimes."""
     from pyspark.sql import functions as F
 
-    return pages_fixture.select(
+    return pages_fixture.where(F.col("variant") != "boiler").select(
         "url",
         "group_id",
         F.col("variant"),

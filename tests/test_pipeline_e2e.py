@@ -46,9 +46,13 @@ def test_extract_text_byte_identical(spark, pages):
 
 def test_golden_clusters_and_keepers(spark, pages, ckpt):
     out = run(spark, pages, ckpt)
-    actions = out["actions"].join(
+    all_actions = out["actions"].join(
         pages.select("url", "group_id", "variant"), "url"
     ).cache()
+    # boiler pages cluster ACROSS groups by design (template near-dups) —
+    # golden per-group expectations apply to the non-boiler variants;
+    # boiler behavior has its own test below
+    actions = all_actions.where("variant != 'boiler'")
 
     # every variant group resolves to exactly one cluster
     split = (
@@ -60,7 +64,7 @@ def test_golden_clusters_and_keepers(spark, pages, ckpt):
     )
     assert split == 0
 
-    # no cross-group merges: a cluster never spans two group_ids
+    # no cross-group merges: a non-boiler cluster never spans two group_ids
     merged = (
         actions.groupBy("cluster_id")
         .agg(F.countDistinct("group_id").alias("n"))
@@ -74,9 +78,9 @@ def test_golden_clusters_and_keepers(spark, pages, ckpt):
     assert keepers.where(
         (F.col("group_id") % 2 == 0) & (F.col("variant") != "original")
     ).count() == 0
-    # exactly one keeper per cluster
+    # exactly one keeper per cluster (ALL clusters, boiler's included)
     assert (
-        actions.groupBy("cluster_id")
+        all_actions.groupBy("cluster_id")
         .agg(F.sum((F.col("action") == "keep").cast("int")).alias("k"))
         .where("k != 1")
         .count()
@@ -88,9 +92,10 @@ def test_golden_clusters_and_keepers(spark, pages, ckpt):
     ).count()
     # copy variants are never keepers (url contains 'copy', later ts)
     assert keepers.where("variant = 'copy'").count() == 0
-    # tier provenance: variants whose NORMALIZED text equals the keeper's
-    # (identical copy; case/whitespace noise) are removed by the exact
-    # tier, genuinely-edited variants by the near (LSH) tier
+    # tier provenance: variants whose NORMALIZED text equals their content
+    # group's best copy (identical copy; case/whitespace noise) are removed
+    # by the exact tier, genuinely-edited/reordered variants by the near
+    # (LSH) tier
     tiers = {
         (r["variant"], r["tier"])
         for r in actions.where("action = 'delete'")
@@ -98,10 +103,47 @@ def test_golden_clusters_and_keepers(spark, pages, ckpt):
     }
     assert tiers == {
         ("copy", "exact"), ("casews", "exact"),
-        ("edited", "near"), ("trunc", "near"),
+        ("edited", "near"), ("trunc", "near"), ("shufpara", "near"),
     }
-    assert actions.where("action = 'keep' AND tier IS NOT NULL").count() == 0
-    actions.unpersist()
+    assert all_actions.where("action = 'keep' AND tier IS NOT NULL").count() == 0
+    all_actions.unpersist()
+
+
+def test_boiler_template_cluster_and_hot_bucket_cap(spark, pages, ckpt):
+    """The boilerplate-dominated pages are cross-GROUP near-dups: at small
+    scale (buckets under the cap) they form one template cluster spanning
+    groups; with the cap tightened below their bucket size, the mega-bucket
+    is EXCLUDED from pair generation and reported via the hot-bucket
+    metrics, and the boiler pages fall back to singletons — the exact
+    behavior the cap exists for at web scale."""
+    out = run(spark, pages, ckpt)
+    acts = out["actions"].join(
+        pages.select("url", "group_id", "variant"), "url"
+    )
+    b = acts.where("variant = 'boiler'").collect()
+    assert len(b) == 4  # gids 0, 10, 20, 30 of 40 groups
+    assert len({r["cluster_id"] for r in b}) == 1  # one template cluster
+    assert len({r["group_id"] for r in b}) == 4  # spanning four groups
+    assert sum(r["action"] == "keep" for r in b) == 1
+
+    # cap below every bucket: all multi-member buckets are hot => excluded
+    # + reported; no pairs form, every page keeps itself
+    cfg2 = DedupConfig(max_dist=0.30, bucket_cap=1, salt_threshold=1)
+    out2 = run_dedup_pipeline(
+        spark, pages, cfg2, ckpt + "_cap", resume=False
+    )
+    m = {
+        r["metric"]: r["value"]
+        for r in out2["metrics"].where("stage = 'pairs'").collect()
+    }
+    assert m.get("hot_buckets", 0) > 0
+    assert m.get("hot_bucket_rows", 0) > 0
+    b2 = (
+        out2["actions"].join(pages.select("url", "variant"), "url")
+        .where("variant = 'boiler'")
+        .collect()
+    )
+    assert len(b2) == 4 and all(r["action"] == "keep" for r in b2)
 
 
 def test_resume_skips_completed_stages_and_is_identical(spark, pages, ckpt):
@@ -137,9 +179,9 @@ def test_dup_pair_recall_on_golden_corpus(spark, pages, ckpt):
         pages.select("url", "group_id"), "url"
     )
     truth_pairs = set()
-    rows = pages.where(F.col("group_id") % 2 == 0).select(
-        "group_id", "url"
-    ).collect()
+    rows = pages.where(
+        (F.col("group_id") % 2 == 0) & (F.col("variant") != "boiler")
+    ).select("group_id", "url").collect()
     by_group: dict[int, list[str]] = {}
     for r in rows:
         by_group.setdefault(r["group_id"], []).append(r["url"])
