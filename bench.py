@@ -146,6 +146,14 @@ def main() -> None:
     queries["pipeline_e2e"] = round(pipeline_s, 3)
     for r in out["metrics"].where("metric = 'seconds'").collect():
         queries[f"stage_{r['stage']}"] = round(r["value"], 3)
+    # skew-tier report: the boilerplate pages in the v3 corpus must trip
+    # the hot-bucket cap at bench scale (nonzero counts = cap earning keep)
+    skew = {
+        r["metric"]: int(r["value"])
+        for r in out["metrics"]
+        .where("metric in ('hot_buckets', 'hot_bucket_rows', 'warm_buckets')")
+        .collect()
+    }
     n_actions = out["actions"].count()
     shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -177,6 +185,7 @@ def main() -> None:
         "dedup_actions": n_actions,
         "dedup_docs_per_sec": docs_per_sec,
         "cpus": cpus,
+        **skew,
     }))
     spark.stop()
 
