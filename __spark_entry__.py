@@ -315,6 +315,20 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word 5-grams
+    per document (functions/textstats.repetition_cols)."""
+    from py_image_dedup_spark.functions.textstats import repetition_cols
+
+    d = _docs(spark, sf_dir)
+    r = repetition_cols(F.col("norm_text"), n=5)
+    return d.select(
+        "doc_id",
+        r["n_ngrams"].alias("n_ngrams"),
+        r["dup_ngram_frac"].alias("dup_ngram_frac"),
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
@@ -330,6 +344,19 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------- streaming-analog / SQL
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (operators/decontaminate.py):
+    benchmark = docs 0..9, contamination = sharing >= 1 verbatim 8-token
+    gram. Output = the DROP list (contaminated doc_ids, benchmark members
+    included — verbatim presence IS contamination). Broadcast-bench path:
+    the corpus is scanned once, never shuffled."""
+    from py_image_dedup_spark.operators.decontaminate import contaminated_ids
+
+    docs = _docs(spark, sf_dir).select("doc_id", "norm_text")
+    bench = docs.where(F.col("doc_id") < 10)
+    return contaminated_ids(docs, bench, n=8)
+
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 analog batch-wise: session-gap (30 min) segmentation per user."""
@@ -504,8 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "decontaminate": q_decontaminate,
         "sessionize_events": q_sessionize_events,
         "pricing_summary": q_pricing_summary,
         "broadcast_join": q_broadcast_join,
@@ -765,6 +794,25 @@ def oracle_sql() -> dict[str, str]:
                    n_chars::DOUBLE / greatest(n_tokens, 1) AS mean_token_len
             FROM b
         """,
+        "repetition_scores": f"""
+            WITH d AS (
+              SELECT doc_id, {_NT} AS nt FROM documents
+            ), t AS (
+              SELECT doc_id, string_split(nt, ' ') AS tk FROM d
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 5 THEN
+                       list_transform(range(1, len(tk) - 3),
+                         i -> array_to_string(tk[i:i+4], ' '))
+                     ELSE [] END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   len(grams)::BIGINT AS n_ngrams,
+                   (len(grams) - len(list_distinct(grams)))::DOUBLE
+                     / greatest(len(grams), 1) AS dup_ngram_frac
+            FROM g
+        """,
         "langid": f"""
             WITH s AS (
               SELECT doc_id, lang,
@@ -818,6 +866,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, e.label, count(*) AS n
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
             GROUP BY d.lang, e.label
+        """,
+        "decontaminate": f"""
+            WITH d AS (
+              SELECT doc_id, {_NT} AS nt FROM documents
+            ), t AS (
+              SELECT doc_id, string_split(nt, ' ') AS tk FROM d
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(tk) - 7, 0) + 1),
+                       i -> array_to_string(tk[i:i+7], ' '))) AS gram
+              FROM t WHERE len(tk) >= 8
+            ), b AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id < 10
+            )
+            SELECT DISTINCT doc_id FROM g
+            WHERE gram IN (SELECT gram FROM b)
         """,
         # Production substring pipeline with SQL-expressible polynomial
         # window keys: at <= bucket_cap docs no bucket is excluded and the

@@ -88,6 +88,34 @@ def quality_cols(col: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_cols(col: Column | str, n: int = 5) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 analog for
+    this engine): the fraction of word n-grams that are repeats of an
+    earlier n-gram in the same document. High values flag boilerplate /
+    machine-generated loops that near-dup removal alone misses (the pages
+    are distinct documents, just internally repetitive).
+
+    Pure built-in exprs (split + transform + slice + array_distinct):
+    whole-stage-codegen'd, and the ratio is int/int in double so the
+    DuckDB twin matches bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    size = F.size(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return {
+        "n_ngrams": total,
+        "dup_ngram_frac": (total - distinct) / F.greatest(total, F.lit(1)),
+    }
+
+
 def langid_scores(col: Column | str) -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
     return {lang: _word_hits(c, words) for lang, words in LANG_LEXICONS.items()}

@@ -1,0 +1,153 @@
+"""Benchmark n-gram decontamination + url canonicalization tests
+(training-pipeline extensions; in-test brute-force oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.functions.urls import canonical_url
+from py_image_dedup_spark.operators.decontaminate import (
+    contaminated_ids,
+    decontaminate,
+    token_ngrams,
+)
+
+
+def _brute_contaminated(corpus: dict, bench: dict, n: int) -> set:
+    def grams(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    bg = set().union(*(grams(t) for t in bench.values())) if bench else set()
+    return {i for i, t in corpus.items() if grams(t) & bg}
+
+
+CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog tonight",
+    2: "a completely different sentence with no overlap at all here",
+    3: "prefix words then the quick brown fox jumps over the lazy dog",
+    4: "quick brown fox jumps over the lazy",  # 7 tokens < n=8: immune
+    5: "the quick brown fox jumps over the lazy dog tonight again",
+}
+BENCH = {100: "the quick brown fox jumps over the lazy dog tonight"}
+
+
+def _dfs(spark):
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], "doc_id long, norm_text string"
+    )
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in BENCH.items()], "doc_id long, norm_text string"
+    )
+    return corpus, bench
+
+
+def test_contaminated_ids_matches_bruteforce(spark):
+    corpus, bench = _dfs(spark)
+    want = _brute_contaminated(CORPUS, BENCH, 8)
+    got = {
+        r["doc_id"] for r in contaminated_ids(corpus, bench, n=8).collect()
+    }
+    assert got == want
+    assert got == {1, 3, 5}  # 4 is too short to hold an 8-gram; 2 disjoint
+
+
+def test_broadcast_and_shuffle_paths_agree(spark):
+    corpus, bench = _dfs(spark)
+    a = {
+        r["doc_id"]
+        for r in contaminated_ids(
+            corpus, bench, n=8, broadcast_bench=True
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in contaminated_ids(
+            corpus, bench, n=8, broadcast_bench=False
+        ).collect()
+    }
+    assert a == b
+
+
+def test_decontaminate_drops_exactly_the_hits(spark):
+    corpus, bench = _dfs(spark)
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == set(CORPUS) - {1, 3, 5}
+
+
+def test_token_ngrams_short_and_empty(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("",), ("a b c d",)], "t string"
+    )
+    rows = [r[0] for r in df.select(token_ngrams("t", 4)).collect()]
+    assert rows[0] == []  # 3 tokens < 4
+    assert rows[1] == []  # empty text
+    assert rows[2] == ["a b c d"]
+
+
+URL_CASES = [
+    # fragment
+    ("https://a.com/x#frag", "https://a.com/x"),
+    # scheme/host case; path case preserved
+    ("HTTPS://WWW.Example.COM/Path/File", "https://www.example.com/Path/File"),
+    # default ports
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x?q=1", "https://a.com/x?q=1"),
+    ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default kept
+    # utm params in every position, runs included
+    ("https://a.com/x?utm_source=t", "https://a.com/x"),
+    ("https://a.com/x?utm_a=1&b=2", "https://a.com/x?b=2"),
+    ("https://a.com/x?b=2&utm_a=1", "https://a.com/x?b=2"),
+    ("https://a.com/x?utm_a=1&utm_b=2&c=3", "https://a.com/x?c=3"),
+    ("https://a.com/x?utm_a=1&utm_b=2", "https://a.com/x"),
+    # duplicate slashes; '://' preserved
+    ("https://a.com/x//y///z", "https://a.com/x/y/z"),
+    # trailing slash off non-root path; root kept
+    ("https://a.com/x/", "https://a.com/x"),
+    ("https://a.com/x/?q=1", "https://a.com/x?q=1"),
+    ("https://a.com/", "https://a.com/"),
+    # everything at once
+    (
+        "HTTP://A.com:80//x//y/?utm_c=z&q=1#top",
+        "http://a.com/x/y?q=1",
+    ),
+]
+
+
+def test_canonical_url_table(spark):
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    for (raw, want), g in zip(URL_CASES, got):
+        assert g == want, f"{raw!r}: got {g!r}, want {want!r}"
+
+
+def test_repetition_cols_planted(spark):
+    """dup_ngram_frac: a doc that is one phrase looped has ~all duplicate
+    5-grams; distinct prose has none; short/empty docs read 0."""
+    from py_image_dedup_spark.functions.textstats import repetition_cols
+
+    loop = " ".join(["buy now click here today"] * 10)  # 50 tokens
+    prose = "each word here appears exactly once in this small document"
+    rows = [(1, loop), (2, prose), (3, "too few"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    r = repetition_cols("t", n=5)
+    got = {
+        x["doc_id"]: (x["n"], x["f"])
+        for x in df.select(
+            "doc_id", r["n_ngrams"].alias("n"), r["dup_ngram_frac"].alias("f")
+        ).collect()
+    }
+    assert got[1][0] == 46  # 50 - 4
+    # 5 distinct 5-grams exist in a 5-word cycle
+    assert got[1][1] == (46 - 5) / 46
+    assert got[2] == (6, 0.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(w,) for _, w in URL_CASES], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [w for _, w in URL_CASES]
