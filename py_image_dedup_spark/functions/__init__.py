@@ -10,6 +10,7 @@ from py_image_dedup_spark.functions.minhash import minhash_udf, est_jaccard_col
 from py_image_dedup_spark.functions.simhash import simhash_udf, hamming_col
 from py_image_dedup_spark.functions.shingles import (
     char_shingles,
+    poly_window_keys,
     shingle_set_jaccard,
     substring_keys,
 )
@@ -18,8 +19,10 @@ from py_image_dedup_spark.functions.textstats import (
     langid_scores,
     langid_col,
     quality_cols,
+    repetition_cols,
     token_count_col,
 )
+from py_image_dedup_spark.functions.urls import canonical_url
 
 __all__ = [
     "extract_text_udf",
@@ -29,11 +32,14 @@ __all__ = [
     "simhash_udf",
     "hamming_col",
     "char_shingles",
+    "poly_window_keys",
     "shingle_set_jaccard",
     "substring_keys",
     "fingerprint_col",
     "langid_scores",
     "langid_col",
     "quality_cols",
+    "repetition_cols",
     "token_count_col",
+    "canonical_url",
 ]
