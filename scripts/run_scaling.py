@@ -142,8 +142,15 @@ def main() -> None:
     probe1_hist: list[float] = [probe[1]]
 
     def quiet_ref() -> float:
-        recent = probe_hist[-9:]
-        return max(statistics.median(recent), 0.8 * probe[4])
+        # clamped to a band around the startup sample: the floor stops a
+        # sustained storm from dragging the reference down (ADVICE r2);
+        # the CEILING stops a co-tenant lull / turbo burst mid-protocol
+        # from ratcheting it up so high that the host's own normal level
+        # reads "busy" forever after (observed in the r3 run: a lull
+        # pushed the median to 1.23x startup and every later normal probe
+        # was rejected until the ungated sentinel fired)
+        recent = statistics.median(probe_hist[-9:])
+        return min(max(recent, 0.8 * probe[4]), 1.1 * probe[4])
 
     discards: dict[int, int] = {n_lo: 0, n_hi: 0}
 
