@@ -477,11 +477,20 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (random-hyperplane LSH buckets + exact re-rank)."""
+    """Approximate ANN (random-hyperplane LSH buckets + exact re-rank) at
+    the PRODUCTION config — fully oracle-checkable: the bucket bits are
+    sign(dot(v, hyperplane)) with literal hyperplanes, plain double
+    arithmetic DuckDB reproduces bit-for-bit when the dot product uses the
+    same left-fold order as Spark's zip_with+aggregate (the twin embeds the
+    identical seed-42 planes via operators/similarity._hyperplanes and
+    folds with list_zip+list_reduce). So candidates, re-rank, and top-k all
+    hash-match with real bucketing running — no degeneration needed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb.where(F.col("vec_id") < 8), emb, k=5, dim=64, n_bits=8, tables=8
-    ).select("query_id", "rank", "neighbor_id")
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,11 +551,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate set provably covers the truth at this config/scale)
         "substring_pairs": q_substring_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # oracle-checked at production config: the SQL twin recomputes the
+        # hyperplane buckets bit-for-bit (see _lsh_ann_sql)
+        "lsh_ann_topk": q_lsh_ann_topk,
         # rows-only (UDF-hash signature spaces with no SQL twin; pytest
         # brute-force/recall oracles in tests/)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -560,6 +571,57 @@ def _fp_sql(expr: str) -> str:
         f"j -> unicode(substr({expr}, j::INT, 1))::BIGINT)), "
         "(acc, x) -> (acc * 31 + x) % 1000000007)"
     )
+
+
+def _lsh_ann_sql() -> str:
+    """SQL twin of q_lsh_ann_topk at the PRODUCTION config: recompute the
+    random-hyperplane buckets from the IDENTICAL seed-42 planes embedded as
+    literal arrays, with each dot product the same left-fold Spark's
+    zip_with+aggregate executes (list_zip + list_reduce, same element
+    order => bit-identical doubles => every sign decision and bucket
+    matches), then the per-table candidate join, pair dedupe, exact cosine
+    re-rank, top-5 — real bucketing verified end-to-end, no degeneration."""
+    from py_image_dedup_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 8, 42)  # (tables, n_bits, dim) — seed 42
+    rows = []
+    for t in range(8):
+        for b in range(8):
+            arr = ", ".join(repr(float(x)) for x in planes[t, b])
+            rows.append(f"({t}, {1 << (7 - b)}, [{arr}]::DOUBLE[])")
+    values = ",\n          ".join(rows)
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip(e.v, p.h), s -> s[1] * s[2])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), planes(table_id, w, h) AS (VALUES
+          {values}
+        ), bk AS (
+          SELECT e.vec_id, p.table_id,
+                 sum(CASE WHEN {dot} > 0 THEN p.w ELSE 0 END)::BIGINT
+                   AS bucket
+          FROM e, planes p GROUP BY e.vec_id, p.table_id
+        ), cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM bk qb JOIN bk cb
+            ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+          WHERE qb.vec_id < 8 AND qb.vec_id != cb.vec_id
+        ), s AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                            neighbor_id ASC) AS rank
+          FROM cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN e c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, rank, neighbor_id FROM s WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -942,4 +1004,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.v, b.v) >= 0.999
         """,
+        "lsh_ann_topk": _lsh_ann_sql(),
     }
