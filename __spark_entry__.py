@@ -418,6 +418,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pipeline(d, cfg)
 
 
+def q_minhash_lsh_pairs_kperm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash+LSH pipeline (lsh_candidate_pipeline: Arrow
+    kernel signatures -> capped/salted band self-join -> broadcast-or-
+    shuffle verify), fully oracle-checked: with minhash_kernel="kperm" the
+    whole signature is mod-2^64 integer arithmetic (byte-polynomial shingle
+    hash -> splitmix64 finalizer -> 16 multiply-shift permutation minima,
+    truncated to 32 bits) that the DuckDB twin recomputes bit-for-bit via
+    HUGEINT split-multiply (see _minhash_kperm_sql). Candidates = pairs
+    agreeing on a full band (band_hash equality == slice equality modulo a
+    2^-64 xxhash collision); at 500 docs <= bucket_cap no bucket is ever
+    excluded, so operator output == the SQL twin exactly. The OPH default
+    kernel rides the same pipeline and keeps its pytest recall gate."""
+    cfg = DedupConfig(
+        max_dist=0.5, minhash_kernel="kperm", num_hashes=16,
+        lsh_bands=8, lsh_rows=2,
+    )
+    d = _docs(spark, sf_dir).select("url", "norm_text")
+    return lsh_candidate_pipeline(d, cfg)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash mode THROUGH the production operator (operators/modes.py
     simhash_pairs: pigeonhole bit-block banding via the skew-aware
@@ -551,9 +571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate set provably covers the truth at this config/scale)
         "substring_pairs": q_substring_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        # oracle-checked at production config: the SQL twin recomputes the
-        # hyperplane buckets bit-for-bit (see _lsh_ann_sql)
+        # oracle-checked at production config: the SQL twins recompute the
+        # UDF hash kernels bit-for-bit (see _lsh_ann_sql/_minhash_kperm_sql)
         "lsh_ann_topk": q_lsh_ann_topk,
+        "minhash_lsh_pairs_kperm": q_minhash_lsh_pairs_kperm,
         # rows-only (UDF-hash signature spaces with no SQL twin; pytest
         # brute-force/recall oracles in tests/)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -571,6 +592,91 @@ def _fp_sql(expr: str) -> str:
         f"j -> unicode(substr({expr}, j::INT, 1))::BIGINT)), "
         "(acc, x) -> (acc * 31 + x) % 1000000007)"
     )
+
+
+def _minhash_kperm_sql() -> str:
+    """SQL twin of q_minhash_lsh_pairs_kperm: recompute the k-permutation
+    MinHash signatures bit-for-bit in DuckDB and join pairs that share a
+    full LSH band. Every kernel step is mod-2^64 integer arithmetic
+    (functions/minhash.py): byte-polynomial rolling hash per 10-char
+    shingle, splitmix64 finalizer, 16 multiply-shift permutation minima,
+    low-32-bit truncation. 64x64->64-bit multiplies overflow HUGEINT, so
+    they split into 32-bit halves: x*c mod 2^64 = (x%2^32)*c +
+    ((x//2^32)*c mod 2^32)*2^32 (each term < 2^97, HUGEINT-safe). Verified
+    bit-identical to the NumPy kernel on degenerate inputs (empty, short,
+    repeated-char) as well as normal text."""
+    from py_image_dedup_spark.config import DedupConfig
+    from py_image_dedup_spark.functions.minhash import perm_constants
+
+    k, nh, bands, rows_per_band, max_dist = 10, 16, 8, 2, 0.5
+    mod = 18446744073709551616  # 2^64
+    seed_plus = (42 + 11400714819323198485) % mod  # hash_seed + splitmix ADD
+    c1, c2 = 13787848793156543929, 10723151780598845931
+
+    def mulmod(col: str, c: int) -> str:
+        return (
+            f"(({col} % 4294967296) * {c} "
+            f"+ ((({col} // 4294967296) * {c}) % 4294967296) * 4294967296) "
+            f"% {mod}"
+        )
+
+    polyfold = (
+        "list_reduce(list_prepend(0::HUGEINT, "
+        "list_transform(range(1, length(s) + 1), "
+        "j -> unicode(substr(s, j::INT, 1))::HUGEINT)), "
+        f"(acc, x) -> (acc * 1099511628211 + x) % {mod})"
+    )
+    a, b = perm_constants(
+        DedupConfig(minhash_kernel="kperm", num_hashes=nh,
+                    lsh_bands=bands, lsh_rows=rows_per_band, max_dist=max_dist)
+    )
+    perm_exprs = []
+    for i in range(nh):
+        al, ah = int(a[i]) % 2**32, int(a[i]) // 2**32
+        val = (
+            f"(({al} * mh + (({ah} * mh) % 4294967296) * 4294967296 "
+            f"+ {int(b[i])}) % {mod})"
+        )
+        perm_exprs.append(f"min({val}) % 4294967296 AS s{i}")
+    agree = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    band_hits = " + ".join(
+        "(CASE WHEN "
+        + " AND ".join(
+            f"a.s{j * rows_per_band + r} = b.s{j * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + " THEN 1 ELSE 0 END)"
+        for j in range(bands)
+    )
+    return f"""
+        WITH d AS (
+          SELECT {_URL} AS url, {_NT} AS nt FROM documents
+        ), sh AS (
+          SELECT url, unnest(CASE WHEN length(nt) >= {k}
+            THEN list_transform(range(1, length(nt) - {k - 2}),
+                                i -> substr(nt, i::INT, {k}))
+            ELSE [nt] END) AS s
+          FROM d
+        ), h1 AS (SELECT url, {polyfold} AS ph FROM sh
+        ), m0 AS (SELECT url, (ph + {seed_plus}) % {mod} AS z FROM h1
+        ), m1 AS (SELECT url, xor(z, z >> 30) AS z FROM m0
+        ), m2 AS (SELECT url, {mulmod('z', c1)} AS z FROM m1
+        ), m3 AS (SELECT url, xor(z, z >> 27) AS z FROM m2
+        ), m4 AS (SELECT url, {mulmod('z', c2)} AS z FROM m3
+        ), m5 AS (SELECT url, xor(z, z >> 31) AS mh FROM m4
+        ), sig AS (
+          SELECT url, {', '.join(perm_exprs)} FROM m5 GROUP BY url
+        ), pr AS (
+          SELECT a.url AS url_a, b.url AS url_b,
+                 ({band_hits})::DOUBLE AS score,
+                 1.0 - ({agree})::DOUBLE / {nh} AS dist
+          FROM sig a JOIN sig b ON a.url < b.url
+        )
+        SELECT url_a, url_b, dist, score
+        FROM pr WHERE score >= 1 AND dist <= {max_dist}
+    """
 
 
 def _lsh_ann_sql() -> str:
@@ -1005,4 +1111,5 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.v, b.v) >= 0.999
         """,
         "lsh_ann_topk": _lsh_ann_sql(),
+        "minhash_lsh_pairs_kperm": _minhash_kperm_sql(),
     }
