@@ -408,11 +408,15 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------- rows-only (non-SQL ops)
+# ------------------- UDF-kernel pipelines with bit-exact DuckDB twins
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 full MinHash+LSH candidate pipeline on documents (rows-only check;
-    brute-force oracle lives in tests/test_minhash.py)."""
+    """J1 full MinHash+LSH candidate pipeline on documents at the
+    PRODUCTION DEFAULT config (densified OPH kernel, 128 hashes, 32x4
+    banding) — fully oracle-checked: every kernel step is mod-2^64
+    integer arithmetic the DuckDB twin recomputes bit-for-bit, including
+    the OPH circular densification (see _minhash_oph_sql). Recall vs
+    brute force is additionally pytest-gated (tests/test_minhash.py)."""
     cfg = DedupConfig(max_dist=0.5)
     d = _docs(spark, sf_dir).select("url", "norm_text")
     return lsh_candidate_pipeline(d, cfg)
@@ -574,10 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked at production config: the SQL twins recompute the
         # UDF hash kernels bit-for-bit (see _lsh_ann_sql/_minhash_kperm_sql)
         "lsh_ann_topk": q_lsh_ann_topk,
-        "minhash_lsh_pairs_kperm": q_minhash_lsh_pairs_kperm,
-        # rows-only (UDF-hash signature spaces with no SQL twin; pytest
-        # brute-force/recall oracles in tests/)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_kperm": q_minhash_lsh_pairs_kperm,
         "simhash_pairs": q_simhash_pairs,
     }
 
@@ -594,38 +596,68 @@ def _fp_sql(expr: str) -> str:
     )
 
 
-def _minhash_kperm_sql() -> str:
-    """SQL twin of q_minhash_lsh_pairs_kperm: recompute the k-permutation
-    MinHash signatures bit-for-bit in DuckDB and join pairs that share a
-    full LSH band. Every kernel step is mod-2^64 integer arithmetic
-    (functions/minhash.py): byte-polynomial rolling hash per 10-char
-    shingle, splitmix64 finalizer, 16 multiply-shift permutation minima,
-    low-32-bit truncation. 64x64->64-bit multiplies overflow HUGEINT, so
-    they split into 32-bit halves: x*c mod 2^64 = (x%2^32)*c +
-    ((x//2^32)*c mod 2^32)*2^32 (each term < 2^97, HUGEINT-safe). Verified
-    bit-identical to the NumPy kernel on degenerate inputs (empty, short,
-    repeated-char) as well as normal text."""
-    from py_image_dedup_spark.config import DedupConfig
-    from py_image_dedup_spark.functions.minhash import perm_constants
+_MOD64 = 18446744073709551616  # 2^64
+_SM_ADD = 11400714819323198485  # splitmix64 increment (minhash.py:41)
+_SM_C1, _SM_C2 = 13787848793156543929, 10723151780598845931
 
-    k, nh, bands, rows_per_band, max_dist = 10, 16, 8, 2, 0.5
-    mod = 18446744073709551616  # 2^64
-    seed_plus = (42 + 11400714819323198485) % mod  # hash_seed + splitmix ADD
-    c1, c2 = 13787848793156543929, 10723151780598845931
 
-    def mulmod(col: str, c: int) -> str:
-        return (
-            f"(({col} % 4294967296) * {c} "
-            f"+ ((({col} // 4294967296) * {c}) % 4294967296) * 4294967296) "
-            f"% {mod}"
-        )
+def _mulmod_sql(col: str, c: int) -> str:
+    """x*c mod 2^64 for a HUGEINT column: a full 64x64 product overflows
+    HUGEINT, so split x into 32-bit halves — (x%2^32)*c +
+    ((x//2^32)*c mod 2^32)*2^32, each term < 2^97, HUGEINT-safe."""
+    return (
+        f"(({col} % 4294967296) * {c} "
+        f"+ ((({col} // 4294967296) * {c}) % 4294967296) * 4294967296) "
+        f"% {_MOD64}"
+    )
 
+
+def _shingle_hash_ctes(seed: int, k: int = 10, distinct: bool = False) -> str:
+    """Shared CTE chain `d -> sh -> ... -> m5(url, mh)`: the bit-exact
+    DuckDB twin of functions/minhash.py:shingle_hashes_u64 — byte-
+    polynomial rolling hash per k-char shingle (whole text when shorter,
+    0 when empty), then the splitmix64 finalizer, all mod-2^64 HUGEINT
+    arithmetic. `distinct` mirrors np.unique for consumers where
+    multiplicity matters (simhash votes); min-consumers skip it."""
+    seed_plus = (seed + _SM_ADD) % _MOD64
     polyfold = (
         "list_reduce(list_prepend(0::HUGEINT, "
         "list_transform(range(1, length(s) + 1), "
         "j -> unicode(substr(s, j::INT, 1))::HUGEINT)), "
-        f"(acc, x) -> (acc * 1099511628211 + x) % {mod})"
+        f"(acc, x) -> (acc * 1099511628211 + x) % {_MOD64})"
     )
+    dk = "DISTINCT " if distinct else ""
+    return f"""
+        WITH d AS (
+          SELECT {_URL} AS url, {_NT} AS nt FROM documents
+        ), sh AS (
+          SELECT url, unnest(CASE WHEN length(nt) >= {k}
+            THEN list_transform(range(1, length(nt) - {k - 2}),
+                                i -> substr(nt, i::INT, {k}))
+            ELSE [nt] END) AS s
+          FROM d
+        ), h1 AS (SELECT url, {polyfold} AS ph FROM sh
+        ), m0 AS (SELECT url, (ph + {seed_plus}) % {_MOD64} AS z FROM h1
+        ), m1 AS (SELECT url, xor(z, z >> 30) AS z FROM m0
+        ), m2 AS (SELECT url, {_mulmod_sql('z', _SM_C1)} AS z FROM m1
+        ), m3 AS (SELECT url, xor(z, z >> 27) AS z FROM m2
+        ), m4 AS (SELECT url, {_mulmod_sql('z', _SM_C2)} AS z FROM m3
+        ), m5 AS (SELECT {dk}url, xor(z, z >> 31) AS mh FROM m4
+        )"""
+
+
+def _minhash_kperm_sql() -> str:
+    """SQL twin of q_minhash_lsh_pairs_kperm: recompute the k-permutation
+    MinHash signatures bit-for-bit in DuckDB (shared shingle-hash chain,
+    then 16 multiply-shift permutation minima, low-32-bit truncation) and
+    join pairs that share a full LSH band. Verified bit-identical to the
+    NumPy kernel on degenerate inputs (empty, short, repeated-char) as
+    well as normal text."""
+    from py_image_dedup_spark.config import DedupConfig
+    from py_image_dedup_spark.functions.minhash import perm_constants
+
+    k, nh, bands, rows_per_band, max_dist = 10, 16, 8, 2, 0.5
+    mod = _MOD64
     a, b = perm_constants(
         DedupConfig(minhash_kernel="kperm", num_hashes=nh,
                     lsh_bands=bands, lsh_rows=rows_per_band, max_dist=max_dist)
@@ -651,22 +683,7 @@ def _minhash_kperm_sql() -> str:
         for j in range(bands)
     )
     return f"""
-        WITH d AS (
-          SELECT {_URL} AS url, {_NT} AS nt FROM documents
-        ), sh AS (
-          SELECT url, unnest(CASE WHEN length(nt) >= {k}
-            THEN list_transform(range(1, length(nt) - {k - 2}),
-                                i -> substr(nt, i::INT, {k}))
-            ELSE [nt] END) AS s
-          FROM d
-        ), h1 AS (SELECT url, {polyfold} AS ph FROM sh
-        ), m0 AS (SELECT url, (ph + {seed_plus}) % {mod} AS z FROM h1
-        ), m1 AS (SELECT url, xor(z, z >> 30) AS z FROM m0
-        ), m2 AS (SELECT url, {mulmod('z', c1)} AS z FROM m1
-        ), m3 AS (SELECT url, xor(z, z >> 27) AS z FROM m2
-        ), m4 AS (SELECT url, {mulmod('z', c2)} AS z FROM m3
-        ), m5 AS (SELECT url, xor(z, z >> 31) AS mh FROM m4
-        ), sig AS (
+        {_shingle_hash_ctes(seed=42, k=k)}, sig AS (
           SELECT url, {', '.join(perm_exprs)} FROM m5 GROUP BY url
         ), pr AS (
           SELECT a.url AS url_a, b.url AS url_b,
@@ -676,6 +693,91 @@ def _minhash_kperm_sql() -> str:
         )
         SELECT url_a, url_b, dist, score
         FROM pr WHERE score >= 1 AND dist <= {max_dist}
+    """
+
+
+def _minhash_oph_sql() -> str:
+    """SQL twin of q_minhash_lsh_pairs at the PRODUCTION DEFAULT config
+    (densified one-permutation hashing, 128 hashes, 32 bands x 4 rows,
+    max_dist 0.5): shared shingle-hash chain, then the OPH kernel
+    bit-for-bit — bin = hash >> 57 (top 7 bits), per-bin minimum, empty
+    bins borrow the nearest occupied bin to the RIGHT circularly
+    (functions/minhash.py:_oph_from_hashes densification), low-32-bit
+    truncation — the signature built as a 128-list per url, candidates =
+    pairs whose lists agree on a full 4-slot band. Verified bit-identical
+    to the NumPy kernel on empty/short/repeated-char and long texts."""
+    nh, rows_per_band, bands, max_dist = 128, 4, 32, 0.5
+    band_hits = " + ".join(
+        f"(CASE WHEN a.sig[{j * rows_per_band + 1}:{(j + 1) * rows_per_band}]"
+        f" = b.sig[{j * rows_per_band + 1}:{(j + 1) * rows_per_band}] "
+        "THEN 1 ELSE 0 END)"
+        for j in range(bands)
+    )
+    return f"""
+        {_shingle_hash_ctes(seed=42)}, b AS (
+          SELECT url, mh >> 57 AS bin, min(mh) AS v
+          FROM m5 GROUP BY url, mh >> 57
+        ), mp AS (
+          SELECT url, map(list(bin ORDER BY bin), list(v ORDER BY bin)) AS m
+          FROM b GROUP BY url
+        ), arr AS (
+          SELECT url, list_transform(range(0, {nh}), i -> m[i][1]) AS a0
+          FROM mp
+        ), sig_t AS (
+          SELECT url, list_transform(range(0, {nh}),
+            i -> a0[1 + (i + list_filter(range(0, {nh}),
+                   s -> a0[1 + ((i + s) % {nh})] IS NOT NULL)[1]) % {nh}]
+                 % 4294967296) AS sig
+          FROM arr
+        ), pr AS (
+          SELECT a.url AS url_a, b.url AS url_b,
+                 ({band_hits})::DOUBLE AS score,
+                 1.0 - len(list_filter(range(1, {nh} + 1),
+                           i -> a.sig[i] = b.sig[i]))::DOUBLE / {nh} AS dist
+          FROM sig_t a JOIN sig_t b ON a.url < b.url
+        )
+        SELECT url_a, url_b, dist, score
+        FROM pr WHERE score >= 1 AND dist <= {max_dist}
+    """
+
+
+def _simhash_sql() -> str:
+    """SQL twin of q_simhash_pairs at its production config (max_dist=0.1
+    => Hamming cutoff 7, 8 pigeonhole blocks of 8 bits): recompute the
+    64-bit Charikar fingerprint bit-for-bit in DuckDB — same shingle hash
+    chain as _minhash_kperm_sql (seed 0), np.unique'd via DISTINCT, then
+    per-bit majority votes (bit p set iff strictly more than half of the
+    unique shingle hashes have value-bit p set, functions/simhash.py:33-46)
+    — and join pairs sharing >= 1 of the 8 bit-blocks with
+    popcount(xor)/64 <= 0.1. At 500 docs <= bucket_cap no block bucket is
+    excluded, so the production capped/salted operator output equals this
+    plain shared-block join exactly."""
+    csum = ", ".join(
+        f"sum(((mh >> {p}) % 2)::BIGINT) AS c{p}" for p in range(64)
+    )
+    fpsum = " + ".join(
+        f"(CASE WHEN 2 * c{p} > n THEN {1 << p}::HUGEINT "
+        "ELSE 0::HUGEINT END)"
+        for p in range(64)
+    )
+    block_hits = " + ".join(
+        f"(CASE WHEN (a.fpu >> {8 * i}) % 256 = (b.fpu >> {8 * i}) % 256 "
+        "THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+        {_shingle_hash_ctes(seed=0, distinct=True)}, cnt AS (
+          SELECT url, count(*) AS n, {csum} FROM m5 GROUP BY url
+        ), fp AS (SELECT url, ({fpsum}) AS fpu FROM cnt
+        ), pr AS (
+          SELECT a.url AS url_a, b.url AS url_b,
+                 ({block_hits})::DOUBLE AS score,
+                 bit_count(xor(a.fpu::UBIGINT, b.fpu::UBIGINT))::DOUBLE
+                   / 64.0 AS dist
+          FROM fp a JOIN fp b ON a.url < b.url
+        )
+        SELECT url_a, url_b, dist, score
+        FROM pr WHERE score >= 1 AND dist <= 0.1
     """
 
 
@@ -1111,5 +1213,7 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.v, b.v) >= 0.999
         """,
         "lsh_ann_topk": _lsh_ann_sql(),
+        "minhash_lsh_pairs": _minhash_oph_sql(),
         "minhash_lsh_pairs_kperm": _minhash_kperm_sql(),
+        "simhash_pairs": _simhash_sql(),
     }
