@@ -422,6 +422,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pipeline(d, cfg)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style unit-level dedup (operators/paragraphs.py): remove
+    every sentence occurring in >= 2 distinct documents, preserving
+    sentence order. key_fn = md5 so the DuckDB twin recomputes the same
+    dedup keys (production default is xxhash64 — 8-byte shuffle keys)."""
+    from py_image_dedup_spark.operators.paragraphs import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(
+        d, min_doc_count=2, sep=r"\.\s+", joiner=" ",
+        key_fn=lambda c: F.md5(c.cast("binary")),
+    )
+
+
 def q_minhash_lsh_pairs_kperm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MinHash+LSH pipeline (lsh_candidate_pipeline: Arrow
     kernel signatures -> capped/salted band self-join -> broadcast-or-
@@ -568,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "decontaminate": q_decontaminate,
+        "paragraph_dedup": q_paragraph_dedup,
         "sessionize_events": q_sessionize_events,
         "pricing_summary": q_pricing_summary,
         "broadcast_join": q_broadcast_join,
@@ -1153,6 +1168,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM g
             WHERE gram IN (SELECT gram FROM b)
+        """,
+        # Unit-level dedup: same md5 keys both sides; order restored by
+        # the split index; docs whose sentences were all boilerplate
+        # survive with dedup_text = ''.
+        "paragraph_dedup": r"""
+            WITH p AS (
+              SELECT doc_id, pos, para FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(arr) + 1),
+                         i -> {'pos': i, 'para': trim(arr[i])}),
+                         recursive := true)
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(text, '\.\s+') AS arr
+                      FROM documents)
+              ) WHERE para != ''
+            ), dup AS (
+              SELECT md5(para) AS pkey FROM p GROUP BY md5(para)
+              HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT doc_id, pos, para FROM p
+              WHERE md5(para) NOT IN (SELECT pkey FROM dup)
+            ), agg AS (
+              SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS dedup_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.dedup_text, '') AS dedup_text,
+                   coalesce(t.n_paras, 0)::BIGINT AS n_paras,
+                   (coalesce(t.n_paras, 0) - coalesce(a.n_kept, 0))::BIGINT
+                     AS n_dup_paras
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
         """,
         # Production substring pipeline with SQL-expressible polynomial
         # window keys: at <= bucket_cap docs no bucket is excluded and the
