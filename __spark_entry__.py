@@ -436,6 +436,36 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency analysis: the 50 4-grams present in the most docs
+    (operators/decontaminate.py:top_ngrams; TakeOrdered top-k, no global
+    sort). Deterministic tiebreak: gram ascending."""
+    from py_image_dedup_spark.operators.decontaminate import top_ngrams
+
+    d = _docs(spark, sf_dir).select("doc_id", "norm_text")
+    return top_ngrams(d, n=4, k=50)
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (operators/sampling.py):
+    md5(id:salt) leading hex vs precomputed boundaries — engine-portable,
+    shuffle-free, auditable from the row alone."""
+    from py_image_dedup_spark.operators.sampling import deterministic_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nested 25% subsample (operators/sampling.py)."""
+    from py_image_dedup_spark.operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_sample(d, 0.25)
+
+
 def q_minhash_lsh_pairs_kperm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MinHash+LSH pipeline (lsh_candidate_pipeline: Arrow
     kernel signatures -> capped/salted band self-join -> broadcast-or-
@@ -583,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "decontaminate": q_decontaminate,
         "paragraph_dedup": q_paragraph_dedup,
+        "deterministic_split": q_deterministic_split,
+        "hash_sample": q_hash_sample,
+        "top_ngrams": q_top_ngrams,
         "sessionize_events": q_sessionize_events,
         "pricing_summary": q_pricing_summary,
         "broadcast_join": q_broadcast_join,
@@ -793,6 +826,28 @@ def _simhash_sql() -> str:
         )
         SELECT url_a, url_b, dist, score
         FROM pr WHERE score >= 1 AND dist <= 0.1
+    """
+
+
+def _split_sample_sql(which: str) -> str:
+    """DuckDB twins of q_deterministic_split / q_hash_sample: the same
+    md5(id:salt) leading-hex bucket compared against the same boundaries
+    (imported from the operator so the two can never drift)."""
+    from py_image_dedup_spark.operators.sampling import _HEX_DIGITS, _hex_edge
+
+    if which == "sample":
+        bucket = f"substr(md5(doc_id || ':sample'), 1, {_HEX_DIGITS})"
+        return (
+            f"SELECT doc_id FROM documents WHERE {bucket} < "
+            f"'{_hex_edge(0.25)}'"
+        )
+    bucket = f"substr(md5(doc_id || ':split'), 1, {_HEX_DIGITS})"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {bucket} < '{_hex_edge(0.8)}' THEN 'train'
+                    WHEN {bucket} < '{_hex_edge(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """
 
 
@@ -1169,6 +1224,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM g
             WHERE gram IN (SELECT gram FROM b)
         """,
+        # Top-k by doc frequency; gram-asc tiebreak makes the boundary
+        # deterministic in both engines. tk[i:i+3] is INCLUSIVE DuckDB
+        # slicing = Spark's slice(toks, i, 4).
+        "top_ngrams": f"""
+            WITH d AS (
+              SELECT doc_id, {_NT} AS nt FROM documents
+            ), t AS (
+              SELECT doc_id, string_split(nt, ' ') AS tk FROM d
+            ), g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - 2),
+                         i -> array_to_string(tk[i:i+3], ' '))) AS gram
+                FROM t WHERE len(tk) >= 4)
+            ), c AS (
+              SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+            ), r AS (
+              SELECT gram, n_docs,
+                     row_number() OVER (ORDER BY n_docs DESC, gram ASC) AS rk
+              FROM c
+            )
+            SELECT gram, n_docs FROM r WHERE rk <= 50
+        """,
+        # Deterministic split/sample: identical md5-hex bucket rule both
+        # sides (fixed-width lowercase hex => lexicographic == numeric)
+        "deterministic_split": _split_sample_sql("split"),
+        "hash_sample": _split_sample_sql("sample"),
         # Unit-level dedup: same md5 keys both sides; order restored by
         # the split index; docs whose sentences were all boilerplate
         # survive with dedup_text = ''.

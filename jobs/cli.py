@@ -5,10 +5,12 @@ subcommands over one shared config surface).
     python jobs/cli.py deduplicate --input ... --output ...
     python jobs/cli.py analyse     --input ... --output ...
     python jobs/cli.py daemon      --watch ... --store ... --pairs ...
+    python jobs/cli.py compact     --store ...
 
 `analyse` is `deduplicate` stopped after the signature stage (phases 2-3
 of the reference lifecycle, deduplicator.py:63-73); `daemon` launches the
-Structured Streaming incremental job. Every subcommand accepts the same
+Structured Streaming incremental job; `compact` is the store maintenance
+job (drop superseded rows — the Iceberg rewrite_data_files analog). Every subcommand accepts the same
 layered config: dataclass defaults < --config-yaml < PY_IMAGE_DEDUP_SPARK_*
 environment variables < explicit flags.
 """
@@ -46,8 +48,13 @@ def main(argv: list[str] | None = None) -> int:
         from jobs import daemon_job
 
         return daemon_job.main(rest)
+    if cmd == "compact":
+        from jobs import daemon_job
+
+        return daemon_job.compact_main(rest)
     print(f"error: unknown command {cmd!r} "
-          "(expected deduplicate | analyse | daemon)", file=sys.stderr)
+          "(expected deduplicate | analyse | daemon | compact)",
+          file=sys.stderr)
     return 2
 
 

@@ -92,5 +92,33 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def compact_main(argv: list[str] | None = None) -> int:
+    """`cli.py compact` — rewrite the daemon's append-only store dropping
+    superseded rows (streaming/incremental.py:compact_band_store). Run it
+    while no daemon is processing batches; prints the before/after row
+    counts as one JSON line."""
+    import argparse as _ap
+    import json
+
+    p = _ap.ArgumentParser(description=compact_main.__doc__)
+    p.add_argument("--store", required=True,
+                   help="signature/band store root written by the daemon")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+    from py_image_dedup_spark.streaming.incremental import compact_band_store
+
+    spark = build_session(
+        app_name="dedup-store-compact",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    stats = compact_band_store(spark, args.store)
+    print(json.dumps(stats), flush=True)
+    spark.stop()
+    return 0
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -136,6 +136,16 @@ class DedupConfig:
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
                 f"must equal num_hashes ({self.num_hashes})"
             )
+        # fail-fast on typo'd policy rules at CONFIG time, not hours later
+        # when the actions stage finally evaluates the sort keys (the
+        # reference validates at config parse too, config.py:118-131).
+        # Deferred import: operators.select imports this module.
+        from py_image_dedup_spark.operators.select import rule_names
+
+        unknown = [r for r in self.prioritization_rules
+                   if r not in rule_names()]
+        if unknown:
+            raise ValueError(f"unknown prioritization rules: {unknown}")
 
     @property
     def hamming_cutoff(self) -> int:

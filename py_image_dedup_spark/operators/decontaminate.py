@@ -76,6 +76,30 @@ def contaminated_ids(
     return hit.select(id_col).distinct()
 
 
+def top_ngrams(
+    corpus: DataFrame,
+    n: int = 4,
+    k: int = 100,
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """(gram, n_docs) — the k n-grams present in the most documents,
+    deterministically tie-broken by gram ascending. The corpus-analysis
+    companion to decontamination: what IS the boilerplate / potential
+    contamination before you pick cutoffs.
+
+    Scale shape: one explode, one map-side-combined count aggregation on
+    the gram, then orderBy+limit which Spark plans as
+    TakeOrderedAndProject — per-partition partial top-k merged on the
+    driver, O(k) driver memory, no global sort shuffle."""
+    return (
+        corpus.select(F.explode(token_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -8,10 +8,12 @@ are two REAL pure-NumPy codecs (no external libraries needed):
 
   * BMP  — uncompressed 24/32-bit BI_RGB, decode + encode
            (image_features and resize_images run end-to-end on real bytes)
+  * PNG  — 8-bit non-interlaced gray/RGB/RGBA, decode (stdlib zlib inflate
+           + all five scanline filters in NumPy) + encode (filter 0)
   * WAV  — RIFF/WAVE PCM 8/16-bit, decode + encode
            (audio_features runs end-to-end on real bytes)
 
-Payloads in other formats (JPEG/PNG/MP3/video containers) need PIL /
+Payloads in other formats (JPEG/MP3/video containers) need PIL /
 soundfile / ffmpeg, which are not in this container: the kernels raise
 NotImplementedError for them unless `fake=True`, which produces a
 deterministic pseudo-decode suitable for pipeline testing. A real
@@ -99,6 +101,106 @@ def encode_bmp(gray_or_rgb: np.ndarray) -> bytes:
                        2835, 2835, 0, 0)
     head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
     return head + info + body
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(data: bytes) -> bool:
+    return len(data) > 8 and data[:8] == PNG_SIG
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) ->
+    (width, height, gray float64 (h, w)). Pure stdlib zlib + NumPy: chunk
+    walk, one inflate, then scanline unfiltering (all five PNG filter
+    types; Up is vectorized, Sub/Average/Paeth run their spec-mandated
+    sequential recurrences per row)."""
+    import zlib
+
+    if not is_png(data):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+            or ctype not in (0, 2, 4, 6) or w < 1 or h < 1):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        ftype = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — no intra-row dependency, vectorized
+            row += prev
+        elif ftype == 1:  # Sub (mod-256 per spec; int math avoids
+            for i in range(ch, stride):  # numpy scalar-overflow warnings)
+                row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
+        elif ftype == 3:  # Average: floor((left + up) / 2), uint8 wrap
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, ch).astype(np.float64)
+    rgb = px[:, :, :3] if ch >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    # same equal-weight gray as decode_bmp, so phash is format-agnostic
+    return w, h, rgb.mean(axis=2)
+
+
+def encode_png(gray_or_rgb: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> 8-bit RGB PNG (filter 0)."""
+    import zlib
+
+    a = np.asarray(gray_or_rgb)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    a = np.clip(a, 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -214,9 +316,12 @@ def image_features(
                 elif is_bmp(data):
                     w, h, gray = decode_bmp(data)
                     gray8 = _pool8(gray)
+                elif is_png(data):
+                    w, h, gray = decode_png(data)
+                    gray8 = _pool8(gray)
                 else:
                     raise NotImplementedError(
-                        "image decoding beyond uncompressed BMP requires "
+                        "image decoding beyond BMP/PNG requires "
                         "PIL/libvips (not in this container); pass "
                         "fake=True for the deterministic stub"
                     )
@@ -340,9 +445,14 @@ def resize_images(
                     body = encode_bmp(
                         _resample_nearest(gray, target_h, target_w)
                     )
+                elif is_png(data):
+                    _, _, gray = decode_png(data)
+                    body = encode_png(
+                        _resample_nearest(gray, target_h, target_w)
+                    )
                 else:
                     raise NotImplementedError(
-                        "resizing beyond uncompressed BMP requires "
+                        "resizing beyond BMP/PNG requires "
                         "PIL/libvips (not in this container); pass "
                         "fake=True for the deterministic stub"
                     )

@@ -74,6 +74,24 @@ def _rule_columns() -> dict[str, Column]:
     }
 
 
+# The policy-rule vocabulary, session-free (building the Columns above
+# needs an active SparkContext; config validation must not). Kept in sync
+# with _rule_columns by tests/test_select_policy.py.
+RULE_NAMES: frozenset[str] = frozenset({
+    "more-meta", "less-meta", "bigger-size", "smaller-size",
+    "newer-timestamp", "older-timestamp", "smaller-distance",
+    "bigger-distance", "contains-copy-in-url", "doesnt-contain-copy-in-url",
+    "longer-url-name", "shorter-url-name", "longer-url-path",
+    "shorter-url-path", "higher-score", "lower-score", "more-content",
+    "less-content",
+})
+
+
+def rule_names() -> frozenset[str]:
+    """The policy-rule vocabulary — the config validator's source of truth."""
+    return RULE_NAMES
+
+
 def policy_sort_keys(cfg: DedupConfig) -> list[Column]:
     rules = _rule_columns()
     unknown = [r for r in cfg.prioritization_rules if r not in rules]

@@ -171,6 +171,71 @@ def latest_signatures(sig_log: DataFrame) -> DataFrame:
     )
 
 
+def compact_band_store(
+    spark: SparkSession, store_path: str, n_band_partitions: int = 64
+) -> dict:
+    """Maintenance job bounding the append-only store's read amplification:
+    rewrite `sigs` keeping only the latest row per url, and `bands` keeping
+    only rows whose (url, batch_id) is still current — the rows every
+    future micro-batch's superseded-filter would discard at read time
+    anyway (run_incremental_stream's left_semi on latest_signatures). After
+    compaction each scan reads O(live) bytes no matter how many re-upsert
+    batches a long-running daemon has appended.
+
+    MUST NOT run concurrently with an active micro-batch (call it while
+    the StreamingQuery is stopped, or from a maintenance window between
+    triggers): the swap is a directory rename, not a transaction. On a
+    cluster this whole function is Iceberg `rewrite_data_files` /
+    `expire_snapshots` and the caveat disappears. Returns per-table
+    before/after row counts.
+    """
+    import shutil
+
+    sig_path = os.path.join(store_path, "sigs")
+    bands_path = os.path.join(store_path, "bands")
+    sig_log = spark.read.parquet(sig_path)
+    current = latest_signatures(sig_log)
+    stats = {"sigs_before": sig_log.count()}
+
+    # Write EVERY compacted table to a tmp dir before swapping ANY source
+    # dir: a DataFrame's file index is captured at read time, so swapping
+    # `sigs` first would leave the bands join scanning deleted files.
+    sig_tmp = sig_path + "__compact_tmp"
+    current.select(*sig_log.columns).write.mode("overwrite").parquet(sig_tmp)
+    # re-read from the stable tmp copy for the bands join
+    current_c = spark.read.parquet(sig_tmp)
+
+    def _swap(tmp, path):
+        old = path + "__compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    bands_tmp = None
+    if os.path.exists(bands_path):
+        bands = spark.read.parquet(bands_path)
+        stats["bands_before"] = bands.count()
+        live = bands.join(
+            current_c.select("url", "batch_id"), ["url", "batch_id"],
+            "left_semi",
+        )
+        bands_tmp = bands_path + "__compact_tmp"
+        (
+            live.select("url", "band_id", "band_hash", "batch_id", "band_pfx")
+            .write.mode("overwrite")
+            .partitionBy("band_pfx")
+            .parquet(bands_tmp)
+        )
+
+    _swap(sig_tmp, sig_path)
+    stats["sigs_after"] = spark.read.parquet(sig_path).count()
+    if bands_tmp is not None:
+        _swap(bands_tmp, bands_path)
+        stats["bands_after"] = spark.read.parquet(bands_path).count()
+    return stats
+
+
 def attach_metrics_listener(spark: SparkSession, metrics_path: str):
     """Per-micro-batch observability — the daemon analog of the reference's
     live Prometheus summaries (py_image_dedup/stats.py:18-20, scraped over

@@ -97,3 +97,13 @@ def test_build_config_rules_flag():
     )
     cfg = dedup_job.build_config(args)
     assert cfg.prioritization_rules == ("more-content", "older-timestamp")
+
+
+def test_cli_compact_requires_store():
+    import pytest
+
+    from jobs import cli
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["compact"])  # argparse: missing required --store
+    assert exc.value.code == 2

@@ -215,3 +215,20 @@ def test_keep_url_and_rank(spark):
     by_url = {r["url"]: r for r in out}
     assert by_url["C:/b"]["rank"] == 1
     assert all(r["keep_url"] == "C:/b" for r in out)
+
+
+def test_rule_names_in_sync_with_rule_columns(spark):
+    # RULE_NAMES is the session-free vocabulary the config validator uses;
+    # it must exactly match the Column-building registry
+    from py_image_dedup_spark.operators.select import RULE_NAMES, _rule_columns
+
+    assert RULE_NAMES == frozenset(_rule_columns())
+
+
+def test_unknown_rule_fails_at_config_time():
+    import pytest
+
+    from py_image_dedup_spark.config import DedupConfig
+
+    with pytest.raises(ValueError, match="unknown prioritization rules"):
+        DedupConfig(prioritization_rules=("more-content", "no-such-rule"))

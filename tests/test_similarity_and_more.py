@@ -502,3 +502,43 @@ def test_resize_images_binary_roundtrip(spark):
         for r in resize_images(df, 8, 8, fake=True).collect()
     }
     assert other["i1"] != again["i1"]
+
+
+def test_image_features_real_png_decode(spark):
+    """The real (fake=False) path also decodes PNG bytes; a BMP and a PNG
+    of the SAME pixels yield the SAME phash (gray conversion is
+    format-agnostic), so cross-format near-dup joins work."""
+    from py_image_dedup_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_features,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(20, 15), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("png", encode_png(img)), ("bmp", encode_bmp(img))],
+        "url string, payload binary",
+    )
+    got = {r["url"]: r for r in image_features(df, fake=False).collect()}
+    assert got["png"]["width"] == 15 and got["png"]["height"] == 20
+    assert got["png"]["phash"] == got["bmp"]["phash"]
+
+
+def test_resize_images_real_png_roundtrip(spark):
+    """PNG in -> PNG out at the target size, decodable by the same codec."""
+    from py_image_dedup_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    df = spark.createDataFrame(
+        [("g", encode_png(grad))], "url string, payload binary"
+    )
+    out = resize_images(df, 8, 4, fake=False).collect()[0]
+    w, h, gray = decode_png(bytes(out["payload"]))
+    assert (w, h) == (8, 4)
+    assert np.all(np.diff(gray, axis=1) > 0)
+    assert np.all(gray == gray[0])

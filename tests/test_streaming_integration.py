@@ -161,3 +161,51 @@ def test_streamed_pairs_match_batch_rerun(stream_run):
     extra = streamed - rerun
     url = stream_run["reup_url"]
     assert all(url in p for p in extra), f"unexpected extra pairs: {extra}"
+
+
+def test_compact_band_store_drops_superseded_rows(stream_run):
+    """Compaction (the Iceberg rewrite_data_files analog) keeps the current
+    view bit-identical while physically dropping every superseded row the
+    read-side filter was discarding per scan. MUST run last in this module:
+    it rewrites the store in place."""
+    from py_image_dedup_spark.streaming.incremental import compact_band_store
+
+    spark = stream_run["spark"]
+    store = stream_run["store_dir"]
+    url = stream_run["reup_url"]
+    sig_log = spark.read.parquet(os.path.join(store, "sigs"))
+    before_current = {
+        (r["url"], r["content_hash"], r["batch_id"])
+        for r in latest_signatures(sig_log).collect()
+    }
+    old_batch = (
+        sig_log.where(F.col("url") == url)
+        .agg(F.min("batch_id"))
+        .first()[0]
+    )
+    bands = spark.read.parquet(os.path.join(store, "bands"))
+    assert bands.where(
+        (F.col("url") == url) & (F.col("batch_id") == old_batch)
+    ).count() > 0, "precondition: superseded band rows exist"
+
+    stats = compact_band_store(spark, store)
+    assert stats["sigs_after"] < stats["sigs_before"]
+    assert stats["bands_after"] < stats["bands_before"]
+
+    sig_log2 = spark.read.parquet(os.path.join(store, "sigs"))
+    # exactly one row per url now, and the current view is unchanged
+    assert sig_log2.count() == sig_log2.select("url").distinct().count()
+    after_current = {
+        (r["url"], r["content_hash"], r["batch_id"])
+        for r in latest_signatures(sig_log2).collect()
+    }
+    assert after_current == before_current
+    bands2 = spark.read.parquet(os.path.join(store, "bands"))
+    assert bands2.where(
+        (F.col("url") == url) & (F.col("batch_id") == old_batch)
+    ).count() == 0
+    # physical layout preserved: still band_pfx-partitioned for pruning
+    assert any(
+        d.startswith("band_pfx=")
+        for d in os.listdir(os.path.join(store, "bands"))
+    )
