@@ -66,63 +66,68 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig,
                                hot-bucket metrics), AQE skew-join mops up
                                residual imbalance
     """
+    from pyspark.sql import Window
+
     keys = ["band_id", "band_hash"]
     bands = bands.withColumn("uid", F.xxhash64("url"))
     if not cfg.across_sources:
         bands = bands.withColumn("_src", source_of(F.col("url"), cfg))
         keys = keys + ["_src"]
     bands = bands.select("uid", *keys)
-    # the band table fans out to five consumers (sizes agg, hot/warm
-    # anti/semi joins, both self-join sides); without persisting, each one
-    # re-explodes the signatures and re-hashes every band. sizes likewise
-    # feeds four broadcast builds — persist it too.
-    bands = bands.persist()
-    sizes = (
-        bands.groupBy(*keys).agg(F.count("*").alias("bucket_size")).persist()
-    )
+    # bucket_size rides on each band row via ONE window over the band key —
+    # the same HashPartitioning(keys) exchange the self-join needs anyway.
+    # Tier assignment (hot / warm / cool) then becomes a row-local filter:
+    # no separate sizes aggregation, no hot/warm broadcast anti/semi joins
+    # (the previous shape shuffled the band table for the sizes agg AND for
+    # each self-join side — three band-scale shuffles; this one shuffles it
+    # once, and the cached post-window partitioning + sort order feed both
+    # join sides exchange-free).
+    sized = bands.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)),
+    ).persist()
     try:
-        hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
-        warm = sizes.where(
+        if stats is not None:
+            # the A5 hot-bucket report: how many buckets each skew tier
+            # caught, and how many band rows the cap excluded. Row counts
+            # are one agg over the cache; bucket counts are distincts over
+            # the hot/warm subsets, which are tiny by construction
+            # (boilerplate template pages at web scale land here — nonzero
+            # hot counts are the signal the cap is earning its keep, not an
+            # error).
+            hot_rows_df = sized.where(F.col("bucket_size") > cfg.bucket_cap)
+            warm_rows_df = sized.where(
+                (F.col("bucket_size") > cfg.salt_threshold)
+                & (F.col("bucket_size") <= cfg.bucket_cap)
+            )
+            stats["hot_bucket_rows"] = hot_rows_df.count()
+            stats["hot_buckets"] = (
+                hot_rows_df.select(*keys).distinct().count()
+            )
+            stats["warm_buckets"] = (
+                warm_rows_df.select(*keys).distinct().count()
+            )
+        # cool = neither hot nor warm (when salt_threshold > bucket_cap the
+        # warm tier is empty and the cap alone gates)
+        cool = sized.where(
+            (F.col("bucket_size") <= cfg.salt_threshold)
+            & (F.col("bucket_size") <= cfg.bucket_cap)
+        )
+        warm_rows = sized.where(
             (F.col("bucket_size") > cfg.salt_threshold)
             & (F.col("bucket_size") <= cfg.bucket_cap)
         )
-        if stats is not None:
-            # the A5 hot-bucket report: how many buckets each skew tier
-            # caught, and how many band rows the cap excluded. One cheap agg
-            # over the already-persisted sizes table (boilerplate template
-            # pages at web scale land here — nonzero hot counts are the
-            # signal the cap is earning its keep, not an error).
-            tiers = sizes.agg(
-                F.count(F.when(F.col("bucket_size") > cfg.bucket_cap, 1)
-                        ).alias("hot"),
-                F.coalesce(
-                    F.sum(F.when(F.col("bucket_size") > cfg.bucket_cap,
-                                 F.col("bucket_size"))),
-                    F.lit(0),
-                ).alias("hot_rows"),
-                F.count(
-                    F.when(
-                        (F.col("bucket_size") > cfg.salt_threshold)
-                        & (F.col("bucket_size") <= cfg.bucket_cap), 1)
-                ).alias("warm"),
-            ).first()
-            stats["hot_buckets"] = int(tiers["hot"])
-            stats["hot_bucket_rows"] = int(tiers["hot_rows"])
-            stats["warm_buckets"] = int(tiers["warm"])
-        live = bands.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
-        warm_keys = F.broadcast(warm.select(*keys))
-        cool = live.join(warm_keys, keys, "left_anti")
-        warm_rows = live.join(warm_keys, keys, "left_semi")
 
-        # the self-joins MUST shuffle on the band key: both sides are the
-        # full corpus band table, but Catalyst's post-anti-join row
-        # estimates can fall under the broadcast threshold and plan a
-        # driver-killing BroadcastHashJoin of the whole corpus (measured:
-        # ~500 MB single-threaded hash-map build at 300k docs). shuffle_merge
-        # (not shuffle_hash) because sort-merge spills: a shuffled-hash build
+        # the self-joins MUST NOT broadcast: both sides are the full corpus
+        # band table, but Catalyst's post-filter row estimates can fall
+        # under the broadcast threshold and plan a driver-killing
+        # BroadcastHashJoin of the whole corpus (measured: ~500 MB single-
+        # threaded hash-map build at 300k docs). shuffle_merge (not
+        # shuffle_hash) because sort-merge spills: a shuffled-hash build
         # side must fit in execution memory per task, and at 1.5M docs /
         # 4 partitions it OOMs (measured) — exactly the failure a 100x run
-        # would hit on any skewed shuffle split.
+        # would hit on any skewed shuffle split. With both sides already
+        # hash-partitioned by the cache, the SMJ plans with zero exchanges.
         a, b = cool.alias("a"), cool.hint("shuffle_merge").alias("b")
         cool_pairs = (
             a.join(b, keys)
@@ -162,8 +167,7 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig,
         # lifetime across repeated pairs_stage calls
         return scored.localCheckpoint(eager=True)
     finally:
-        bands.unpersist()
-        sizes.unpersist()
+        sized.unpersist()
 
 
 # ---------------------------------------------------------------- minhash

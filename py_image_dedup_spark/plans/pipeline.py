@@ -247,8 +247,15 @@ def run_dedup_pipeline(
             ),
             None,
         )
+        # The election shuffles full rows (min_by) or rescans the cache
+        # (broadcast); either way the signature stage only ever consumes
+        # (content_hash, url, norm_text) — electing over that projection
+        # keeps warc_ts/n_bytes/n_chars/meta bytes out of the min_by
+        # shuffle (they fan out to members from pages_meta later, never
+        # from the representative row).
         reps = exact_unique_representatives_auto(
-            hashed_full, cfg.broadcast_rep_limit, rep_stats,
+            hashed_full.select("content_hash", "url", "norm_text"),
+            cfg.broadcast_rep_limit, rep_stats,
             known_upper_bound=n_pages,
         )
         metrics.append(
