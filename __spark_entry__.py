@@ -285,6 +285,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(corpus, 0.999).select("id_a", "id_b")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:semantic_dedup)
+    on the planted-twin corpus: keep one member per cosine>=0.999 component.
+    At nlist=1 the within-cell join is global, so the operator degenerates
+    EXACTLY to all-pairs cosine edges + connected components — which the
+    DuckDB twin recomputes with a recursive CTE (the IVF-oracle trick)."""
+    from py_image_dedup_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").union(twins)
+    return semantic_dedup(corpus, threshold=0.999, nlist=1)
+
+
 # ------------------------------------------------------------- text stats
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +329,24 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["punct_ratio"].alias("punct_ratio"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality GATE (functions/textstats.quality_filter_cols):
+    pass/fail + the comma-joined failed-rule names per document. Raw-text
+    signals on `text`, repetition on `norm_text` — matching the
+    per-signal oracles."""
+    from py_image_dedup_spark.functions.textstats import quality_filter_cols
+
+    d = _docs(spark, sf_dir)
+    g = quality_filter_cols(F.col("text"), F.col("norm_text"))
+    return d.select(
+        "doc_id",
+        # 0/1 int, not boolean: engines agree on int encoding; boolean
+        # representation differs across pandas bridges
+        g["quality_pass"].cast("int").alias("quality_pass"),
+        g["fail_reasons"].alias("fail_reasons"),
     )
 
 
@@ -605,10 +640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "token_counts": q_token_counts,
         "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
+        "quality_filter": q_quality_filter,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "decontaminate": q_decontaminate,
@@ -1103,6 +1140,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.v, b.v) >= 0.999
         """,
+        # SemDeDup at nlist=1 == global cosine edges + connected components:
+        # the same recursive-CTE closure as the `connected_components`
+        # oracle, over the planted-twin embedding corpus. cell is constant 0
+        # (single-cell degeneration) in both engines.
+        "semantic_dedup": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 200
+            ), e AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+              FROM base
+            ), p0 AS (
+              SELECT a.vec_id AS s, b.vec_id AS t
+              FROM e a, e b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.v, b.v) >= 0.999
+            ), ed AS (
+              SELECT s, t FROM p0 UNION SELECT t, s FROM p0
+            ), reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM e
+              UNION
+              SELECT r.src, ed.t FROM reach r JOIN ed ON r.dst = ed.s
+            ), comp AS (
+              SELECT src AS vec_id, min(dst) AS keep_id
+              FROM reach GROUP BY src
+            )
+            SELECT vec_id, 0::INTEGER AS cell,
+                   CASE WHEN keep_id = vec_id THEN 'keep'
+                        ELSE 'delete' END AS action,
+                   keep_id
+            FROM comp
+        """,
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -1152,6 +1223,63 @@ def oracle_sql() -> dict[str, str]:
                    (len(grams) - len(list_distinct(grams)))::DOUBLE
                      / greatest(len(grams), 1) AS dup_ngram_frac
             FROM g
+        """,
+        # Gate twin: same raw-text signals as quality_scores, same
+        # norm-text dup-ngram as repetition_scores, CASE per rule in the
+        # engine's fixed rule order, NULLs filtered before the join —
+        # mirrors array_join's null-dropping
+        "quality_filter": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END)::BIGINT AS n_tokens,
+                     len(regexp_extract_all(lower(text), '{stop_en}'))::BIGINT
+                       AS n_stop,
+                     {_NT} AS nt
+              FROM documents
+            ), t AS (
+              SELECT doc_id, n_chars, n_tokens, n_stop,
+                     string_split(nt, ' ') AS tk
+              FROM b
+            ), g AS (
+              SELECT doc_id, n_tokens,
+                     n_chars::DOUBLE / greatest(n_tokens, 1)
+                       AS mean_token_len,
+                     n_stop::DOUBLE / greatest(n_tokens, 1)
+                       AS stopword_ratio,
+                     CASE WHEN len(tk) >= 5 THEN
+                       list_transform(range(1, len(tk) - 3),
+                         i -> array_to_string(tk[i:i+4], ' '))
+                     ELSE [] END AS grams
+              FROM t
+            ), s AS (
+              SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+                     (len(grams) - len(list_distinct(grams)))::DOUBLE
+                       / greatest(len(grams), 1) AS dup_ngram_frac
+              FROM g
+            ), reasons AS (
+              SELECT doc_id,
+                     -- DuckDB: array_to_string([]) is NULL; Spark's
+                     -- array_join of an empty array is '' — coalesce
+                     coalesce(array_to_string(list_filter([
+                       CASE WHEN n_tokens < 50 THEN 'too_few_tokens' END,
+                       CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                       CASE WHEN mean_token_len < 3.0::DOUBLE
+                            THEN 'short_tokens' END,
+                       CASE WHEN mean_token_len > 10.0::DOUBLE
+                            THEN 'long_tokens' END,
+                       CASE WHEN stopword_ratio < 0.06::DOUBLE
+                            THEN 'low_stopword_ratio' END,
+                       CASE WHEN dup_ngram_frac > 0.3::DOUBLE
+                            THEN 'repetitive' END
+                     ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+              FROM s
+            )
+            SELECT doc_id, (fail_reasons = '')::INTEGER AS quality_pass,
+                   fail_reasons
+            FROM reasons
         """,
         "langid": f"""
             WITH s AS (

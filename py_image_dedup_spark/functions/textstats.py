@@ -195,3 +195,49 @@ def fingerprint_col(col: Column | str) -> Column:
         _fingerprint_udf = _fingerprint_kernel_factory()
     c = F.col(col) if isinstance(col, str) else col
     return _fingerprint_udf(c)
+
+
+def quality_filter_cols(
+    text_col: Column | str,
+    norm_text_col: Column | str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_stopword_ratio: float = 0.06,
+    max_dup_ngram_frac: float = 0.3,
+) -> dict[str, Column]:
+    """Gopher-style document quality GATE (Rae et al. 2021, Table A1
+    analog) composed from quality_cols + repetition_cols: a boolean
+    `quality_pass` plus `fail_reasons` — the failed rule names,
+    comma-joined in fixed rule order, '' when the document passes. The
+    reasons column is what a curation pipeline logs/aggregates to audit
+    WHY mass was dropped, not just how much.
+
+    Raw-text signals (token counts, ratios) evaluate on `text_col`;
+    the n-gram repetition signal on `norm_text_col` (whitespace-collapsed)
+    exactly like the individual driver oracles. All comparisons are on
+    int/int double ratios, bit-identical across engines, so the gate is
+    engine-portable (DuckDB twin in the driver contract)."""
+    q = quality_cols(text_col)
+    r = repetition_cols(norm_text_col)
+    checks = (
+        ("too_few_tokens", q["n_tokens"] < F.lit(min_tokens)),
+        ("too_many_tokens", q["n_tokens"] > F.lit(max_tokens)),
+        ("short_tokens",
+         q["mean_token_len"] < F.lit(float(min_mean_token_len))),
+        ("long_tokens",
+         q["mean_token_len"] > F.lit(float(max_mean_token_len))),
+        ("low_stopword_ratio",
+         q["stopword_ratio"] < F.lit(float(min_stopword_ratio))),
+        ("repetitive",
+         r["dup_ngram_frac"] > F.lit(float(max_dup_ngram_frac))),
+    )
+    # array_join drops the NULLs of non-firing whens — no filter needed
+    reasons = F.array_join(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks]), ","
+    )
+    return {
+        "fail_reasons": reasons,
+        "quality_pass": reasons == F.lit(""),
+    }

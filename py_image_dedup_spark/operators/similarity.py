@@ -362,3 +362,86 @@ def embedding_neardup_pairs_lsh(
         .where(F.col("sim") >= F.lit(float(min_cosine)))
         .select("id_a", "id_b", "sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    nlist: int = 16,
+    seed: int = 42,
+    sample_limit: int = 32768,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF k-means
+    codebook, score pairs ONLY within a cell, connect pairs with
+    cosine >= threshold, and keep exactly one member (the min id) per
+    near-dup component.
+
+    Returns (id, cell int, action keep|delete, keep_id) for EVERY corpus
+    row — the embedding analog of the text pipeline's actions table.
+
+    Scale shape: one codebook train on a bounded deterministic sample
+    (train_ivf_centroids — the only collect), one corpus scan, one shuffle
+    on the int32 cell for the within-cell self-join (no all-pairs: size
+    `nlist` ~ n/target_cell_size so cells stay bounded; AQE splits
+    residual hot cells), then connected components on the int64 ids
+    (O(log n) rounds) and a keep/delete projection. Cross-cell near-dups
+    are missed by design — SemDeDup's approximation — but exact/scaled
+    twins always co-assign (identical direction => identical nearest
+    centroid), so planted-dup recall is 1 at any nlist (pytest-gated).
+
+    nlist=1 degenerates to exact global near-dup + CC, which the driver
+    contract exploits as a DuckDB recursive-CTE oracle."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist=nlist, seed=seed, sample_limit=sample_limit,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cells = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.element_at(
+            _make_cell_udf(centroids, 1)(F.col(vec_col)), 1
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cell"
+    )
+    edges = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            cosine_col(F.col("_va"), F.col("_vb"))
+            >= F.lit(float(threshold))
+        )
+        .select("_ida", "_idb")
+    )
+    from py_image_dedup_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        edges,
+        vertices=cells.select(F.col(id_col)),
+        src="_ida",
+        dst="_idb",
+        vertex_col=id_col,
+    )
+    return (
+        cells.drop("_v")
+        .join(comp, id_col)
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("cluster_id") == F.col(id_col), F.lit("keep"))
+            .otherwise(F.lit("delete"))
+            .alias("action"),
+            F.col("cluster_id").alias("keep_id"),
+        )
+    )

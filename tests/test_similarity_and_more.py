@@ -542,3 +542,97 @@ def test_resize_images_real_png_roundtrip(spark):
     assert (w, h) == (8, 4)
     assert np.all(np.diff(gray, axis=1) > 0)
     assert np.all(gray == gray[0])
+
+
+# ---------------------------------------------------------- semantic dedup
+
+def _semdedup_corpus(spark):
+    # two near-dup direction groups + one singleton, in 3-D
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),        # scaled twin of 1 (cos = 1)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 3.0, 0.001]),      # near-parallel to 3
+        (5, [1.0, 1.0, 1.0]),        # singleton (cos ~0.7 to others)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semantic_dedup_global_components(spark):
+    from py_image_dedup_spark.operators.similarity import semantic_dedup
+
+    out = {
+        r["vec_id"]: (r["action"], r["keep_id"])
+        for r in semantic_dedup(
+            _semdedup_corpus(spark), threshold=0.99, nlist=1
+        ).collect()
+    }
+    assert out == {
+        1: ("keep", 1),
+        2: ("delete", 1),
+        3: ("keep", 3),
+        4: ("delete", 3),
+        5: ("keep", 5),
+    }
+
+
+def test_semantic_dedup_multicell_keeps_twins_together(spark):
+    # identical-direction twins always share a cell (same nearest
+    # centroid), so planted-dup recall is 1 at ANY nlist; exactly one
+    # member per twin group survives
+    from py_image_dedup_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(20, 8))  # random 8-D directions: pairwise
+    base = [                         # |cos| << 1, far from the threshold
+        (i, [float(x) for x in dirs[i]]) for i in range(20)
+    ]
+    twins = [(i + 1000, [2.0 * x for x in v]) for i, v in base]
+    corpus = spark.createDataFrame(
+        base + twins, "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(corpus, threshold=0.9999, nlist=4).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == 40
+    for i, _ in base:
+        a, b = by_id[i], by_id[i + 1000]
+        # co-assigned and connected: the twin pair shares one keeper
+        assert a["cell"] == b["cell"]
+        assert a["keep_id"] == b["keep_id"]
+        assert {a["action"], b["action"]} == {"keep", "delete"}
+
+
+# ---------------------------------------------------------- quality gate
+
+def test_quality_filter_rules_and_reasons(spark):
+    from py_image_dedup_spark.functions.normalize import normalize_text
+    from py_image_dedup_spark.functions.textstats import quality_filter_cols
+
+    # varied tokens (every 5-gram distinct) so the repetition rule stays
+    # quiet; alternating stopwords keep stopword_ratio high
+    good = " ".join(f"the word{i:02d}" for i in range(30))
+    tiny = "the cat"                      # too_few_tokens
+    screaming = " ".join("abcdefghijklmnop" for _ in range(60))
+    # ^ long_tokens + low_stopword_ratio + repetitive (one token repeated)
+    df = spark.createDataFrame(
+        [(1, good), (2, tiny), (3, screaming)], "doc_id long, text string"
+    ).withColumn("norm_text", normalize_text("text"))
+    g = quality_filter_cols(F.col("text"), F.col("norm_text"))
+    out = {
+        r["doc_id"]: (r["quality_pass"], r["fail_reasons"])
+        for r in df.select(
+            "doc_id",
+            g["quality_pass"].alias("quality_pass"),
+            g["fail_reasons"].alias("fail_reasons"),
+        ).collect()
+    }
+    assert out[1] == (True, "")
+    assert out[2][0] is False and "too_few_tokens" in out[2][1]
+    assert out[3][0] is False
+    for reason in ("long_tokens", "low_stopword_ratio", "repetitive"):
+        assert reason in out[3][1]
+    # reasons appear in the fixed rule order (auditable, deterministic)
+    rs = out[3][1].split(",")
+    assert rs == ["long_tokens", "low_stopword_ratio", "repetitive"]
