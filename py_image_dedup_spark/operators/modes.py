@@ -89,24 +89,34 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig,
     try:
         if stats is not None:
             # the A5 hot-bucket report: how many buckets each skew tier
-            # caught, and how many band rows the cap excluded. Row counts
-            # are one agg over the cache; bucket counts are distincts over
-            # the hot/warm subsets, which are tiny by construction
-            # (boilerplate template pages at web scale land here — nonzero
-            # hot counts are the signal the cap is earning its keep, not an
-            # error).
-            hot_rows_df = sized.where(F.col("bucket_size") > cfg.bucket_cap)
-            warm_rows_df = sized.where(
-                (F.col("bucket_size") > cfg.salt_threshold)
-                & (F.col("bucket_size") <= cfg.bucket_cap)
+            # caught, and how many band rows the cap excluded. ONE action:
+            # hot ∪ warm rows (size > least(salt, cap) covers both tiers,
+            # also when salt_threshold > bucket_cap and warm is empty) are
+            # tiny by construction — boilerplate template pages at web
+            # scale land here; nonzero hot counts are the signal the cap
+            # is earning its keep, not an error. One cache scan + one
+            # tier-subset-sized shuffle replaces the previous three
+            # full-cache-scan actions (count + two distincts).
+            cap, salt = cfg.bucket_cap, cfg.salt_threshold
+            tier_row = (
+                sized.where(F.col("bucket_size") > min(salt, cap))
+                .groupBy(*keys)
+                .agg(F.first("bucket_size").alias("bs"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("bs") > cap, F.col("bs"))),
+                        F.lit(0),
+                    ).alias("hot_rows"),
+                    F.count(F.when(F.col("bs") > cap, 1)).alias("hot"),
+                    F.count(
+                        F.when((F.col("bs") > salt) & (F.col("bs") <= cap), 1)
+                    ).alias("warm"),
+                )
+                .first()
             )
-            stats["hot_bucket_rows"] = hot_rows_df.count()
-            stats["hot_buckets"] = (
-                hot_rows_df.select(*keys).distinct().count()
-            )
-            stats["warm_buckets"] = (
-                warm_rows_df.select(*keys).distinct().count()
-            )
+            stats["hot_bucket_rows"] = int(tier_row["hot_rows"])
+            stats["hot_buckets"] = int(tier_row["hot"])
+            stats["warm_buckets"] = int(tier_row["warm"])
         # cool = neither hot nor warm (when salt_threshold > bucket_cap the
         # warm tier is empty and the cap alone gates)
         cool = sized.where(
