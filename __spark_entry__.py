@@ -1231,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": f"""
             WITH b AS (
               SELECT doc_id,
+                     (text IS NULL) AS is_null_text,
                      length(text)::BIGINT AS n_chars,
                      (CASE WHEN trim(text) = '' THEN 0
                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
@@ -1240,11 +1241,11 @@ def oracle_sql() -> dict[str, str]:
                      {_NT} AS nt
               FROM documents
             ), t AS (
-              SELECT doc_id, n_chars, n_tokens, n_stop,
+              SELECT doc_id, is_null_text, n_chars, n_tokens, n_stop,
                      string_split(nt, ' ') AS tk
               FROM b
             ), g AS (
-              SELECT doc_id, n_tokens,
+              SELECT doc_id, is_null_text, n_tokens,
                      n_chars::DOUBLE / greatest(n_tokens, 1)
                        AS mean_token_len,
                      n_stop::DOUBLE / greatest(n_tokens, 1)
@@ -1255,7 +1256,8 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [] END AS grams
               FROM t
             ), s AS (
-              SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+              SELECT doc_id, is_null_text, n_tokens, mean_token_len,
+                     stopword_ratio,
                      (len(grams) - len(list_distinct(grams)))::DOUBLE
                        / greatest(len(grams), 1) AS dup_ngram_frac
               FROM g
@@ -1264,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
                      -- DuckDB: array_to_string([]) is NULL; Spark's
                      -- array_join of an empty array is '' — coalesce
                      coalesce(array_to_string(list_filter([
+                       CASE WHEN is_null_text THEN 'null_text' END,
                        CASE WHEN n_tokens < 50 THEN 'too_few_tokens' END,
                        CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
                        CASE WHEN mean_token_len < 3.0::DOUBLE

@@ -221,7 +221,12 @@ def quality_filter_cols(
     engine-portable (DuckDB twin in the driver contract)."""
     q = quality_cols(text_col)
     r = repetition_cols(norm_text_col)
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     checks = (
+        # NULL text first and explicitly: every other condition evaluates
+        # to NULL on a NULL document, its `when` never fires, and the doc
+        # would sail through the gate with fail_reasons='' (ADVICE r3)
+        ("null_text", t.isNull()),
         ("too_few_tokens", q["n_tokens"] < F.lit(min_tokens)),
         ("too_many_tokens", q["n_tokens"] > F.lit(max_tokens)),
         ("short_tokens",

@@ -23,22 +23,32 @@ def canonical_url(col: Column | str) -> Column:
     """Deterministic, idempotent url canonicalization:
 
       1. strip the fragment (`#...`)
-      2. lowercase the scheme://authority prefix (path/query untouched)
+      2. lowercase the scheme and host:port ONLY — userinfo credentials
+         (`user:pass@`) are case-significant and pass through untouched
       3. drop default ports (`:80` for http, `:443` for https)
       4. drop `utm_*` tracking query parameters (and a dangling `?`/`&`)
-      5. collapse duplicate slashes in the path (authority preserved)
-      6. strip a single trailing slash from a non-root path
+      5. collapse duplicate slashes in the PATH segment only (query
+         values like `?q=a//b` or `?next=//b.com/x` keep their bytes —
+         they distinguish genuinely different pages)
+      6. strip a single trailing slash from a non-root path (again path
+         only; a `/` at the end of a query value is preserved)
     """
     c = F.col(col) if isinstance(col, str) else col
     # 1. fragment
     u = F.regexp_replace(c, r"#.*$", "")
-    # 2. lowercase scheme://authority
-    head = F.lower(F.regexp_extract(u, r"^[^:/?]+://[^/?]*", 0))
+    # 2. lowercase scheme + host:port; userinfo (up to the LAST '@' in the
+    #    authority — RFC 3986 allows ':'/'%' inside userinfo) is preserved
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?]+)://", 1))
+    authority = F.regexp_extract(u, r"^[^:/?]+://([^/?]*)", 1)
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)  # greedy → last @
+    hostport = F.regexp_replace(authority, r"^.*@", "")
     tail = F.regexp_replace(u, r"^[^:/?]+://[^/?]*", "")
-    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    u = F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), userinfo, F.lower(hostport), tail)
+    )
     # 3. default ports
-    u = F.regexp_replace(u, r"^(http://[^/:?]+):80(?=[/?]|$)", "$1")
-    u = F.regexp_replace(u, r"^(https://[^/:?]+):443(?=[/?]|$)", "$1")
+    u = F.regexp_replace(u, r"^(http://[^/?]*?):80(?=[/?]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/?]*?):443(?=[/?]|$)", "$1")
     # 4. utm_* params, in three passes so runs of them fall together
     #    (Java replaceAll resumes AFTER a replacement, so one combined
     #    pattern would skip every second utm param in a run):
@@ -46,8 +56,11 @@ def canonical_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"&utm_[^&#]*", "")
     u = F.regexp_replace(u, r"\?utm_[^&#]*&", "?")
     u = F.regexp_replace(u, r"\?utm_[^&#]*$", "")
-    # 5. duplicate slashes in the path (negative lookbehind keeps '://')
-    u = F.regexp_replace(u, r"(?<!:)//+", "/")
+    # 5+6 apply to the path segment only — split at the first '?'
+    path = F.regexp_extract(u, r"^[^?]*", 0)
+    query = F.regexp_replace(u, r"^[^?]*", "")
+    # 5. duplicate slashes in the path ('://' kept by the lookbehind)
+    path = F.regexp_replace(path, r"(?<!:)//+", "/")
     # 6. trailing slash on a non-root path
-    u = F.regexp_replace(u, r"(://[^/?]+/[^?]*[^/?])/(?=\?|$)", "$1")
-    return u
+    path = F.regexp_replace(path, r"^(.*://[^/?]*/.*[^/])/$", "$1")
+    return F.concat(path, query)

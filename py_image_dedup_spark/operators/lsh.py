@@ -146,6 +146,43 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     )
 
 
+def resolve_pair_urls(pairs: DataFrame, signatures: DataFrame,
+                      broadcast_pairs: bool = False,
+                      dist: float = 0.0) -> DataFrame:
+    """(uid_a, uid_b, score) -> (url_a, url_b, dist, score) with a CONSTANT
+    dist — the full-band-agreement short-circuit target (operators/modes.py
+    minhash_pairs): pairs whose score equals cfg.lsh_bands matched in every
+    band, so every signature slice is equal (an xxhash64 slice collision in
+    ALL bands at once is ~2^-64·per-band — and would only emit an extra
+    dist-0 pair, the same conservative direction as a uid collision), est
+    Jaccard is exactly 1 and dist exactly 0 — verification always passes.
+    These are the DENSEST pairs (most-duplicated content), so skipping the
+    sig-carrying probes for them cuts the verify stage's shuffle bytes
+    where they concentrate; this join moves only (uid, url) rows.
+
+    Same two physical shapes as verify_pairs, picked by the caller from
+    the measured pair count."""
+    ma = signatures.select(
+        F.xxhash64("url").alias("uid_a"), F.col("url").alias("url_a")
+    )
+    mb = signatures.select(
+        F.xxhash64("url").alias("uid_b"), F.col("url").alias("url_b")
+    )
+    if broadcast_pairs:
+        ja = ma.join(F.broadcast(pairs.select("uid_a", "uid_b", "score")),
+                     "uid_a")
+        jb = mb.join(F.broadcast(pairs.select("uid_a", "uid_b")), "uid_b")
+        joined = ja.join(jb, ["uid_a", "uid_b"])
+    else:
+        joined = pairs.join(ma, "uid_a").join(mb, "uid_b")
+    return joined.select(
+        F.least("url_a", "url_b").alias("url_a"),
+        F.greatest("url_a", "url_b").alias("url_b"),
+        F.lit(float(dist)).alias("dist"),
+        "score",
+    )
+
+
 def lsh_candidate_pipeline(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
     """signatures -> verified candidate pairs in one plan. Pair generation
     goes through the shared skew-aware join (operators/modes.py) so the

@@ -66,26 +66,26 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig,
                                hot-bucket metrics), AQE skew-join mops up
                                residual imbalance
     """
-    from pyspark.sql import Window
-
     keys = ["band_id", "band_hash"]
     bands = bands.withColumn("uid", F.xxhash64("url"))
     if not cfg.across_sources:
         bands = bands.withColumn("_src", source_of(F.col("url"), cfg))
         keys = keys + ["_src"]
     bands = bands.select("uid", *keys)
-    # bucket_size rides on each band row via ONE window over the band key —
-    # the same HashPartitioning(keys) exchange the self-join needs anyway.
-    # Tier assignment (hot / warm / cool) then becomes a row-local filter:
-    # no separate sizes aggregation, no hot/warm broadcast anti/semi joins
-    # (the previous shape shuffled the band table for the sizes agg AND for
-    # each self-join side — three band-scale shuffles; this one shuffles it
-    # once, and the cached post-window partitioning + sort order feed both
-    # join sides exchange-free).
-    sized = bands.withColumn(
-        "bucket_size",
-        F.count(F.lit(1)).over(Window.partitionBy(*keys)),
-    ).persist()
+    # bucket_size rides on each band row via a map-side-combined groupBy
+    # (shuffles only (keys, partial count) rows — tiny) joined back onto
+    # the band table; the SMJ hint pins the join to a sort-merge whose
+    # output is HashPartitioning(keys) — exactly the exchange the
+    # self-join needs, so the band table still moves ONCE and the cached
+    # partitioning + sort order feed both join sides exchange-free.
+    # (A window count over partitionBy(keys) had the same 1-shuffle shape
+    # but buffers a whole bucket per window task — the hot boilerplate
+    # bucket the cap exists for became a single straggler/spill task that
+    # AQE cannot split; the SMJ streams it row-by-row instead. ADVICE r3.)
+    sizes = bands.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    sized = bands.join(sizes.hint("shuffle_merge"), keys).persist()
     try:
         if stats is not None:
             # the A5 hot-bucket report: how many buckets each skew tier
@@ -190,15 +190,37 @@ def minhash_pairs(signatures: DataFrame, cfg: DedupConfig,
                   stats: dict | None = None) -> DataFrame:
     bands = _minhash.explode_bands(signatures, cfg)
     pairs = _capped_self_join(bands, cfg, stats)
-    # pairs just materialized (checkpoint) — counting is one cheap job, and
-    # it picks the verify shape that never shuffles the signature table
-    # when the pair list is broadcastable
-    n_pairs = pairs.count()
-    return _minhash.verify_pairs(
-        pairs, signatures, cfg,
-        broadcast_pairs=n_pairs <= cfg.broadcast_pairs_limit,
+    # Full-band-agreement short-circuit: a pair can share at most one
+    # bucket per band, so score == lsh_bands means EVERY band matched =>
+    # every signature slice equal => est Jaccard exactly 1 => dist exactly
+    # 0 — verification always passes. Those pairs (the densest: verbatim
+    # re-crawl mass that survived url-level dedup) bypass both sig-carrying
+    # probes and resolve uid->url through a slim map join instead. Output
+    # is provably identical to verifying them (dist 0.0 either way).
+    b = F.lit(float(cfg.lsh_bands))
+    # pairs just materialized (checkpoint) — ONE cheap agg job sizes both
+    # subsets, and each picks the shape that never shuffles the signature
+    # table when its pair list is broadcastable
+    sizes = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("score") >= b, 1)).alias("n_full"),
+    ).first()
+    n_full = int(sizes["n_full"])
+    n_rest = int(sizes["n"]) - n_full
+    if stats is not None:
+        stats["full_band_pairs"] = n_full
+    verified = _minhash.verify_pairs(
+        pairs.where(F.col("score") < b), signatures, cfg,
+        broadcast_pairs=n_rest <= cfg.broadcast_pairs_limit,
         key="uid",
     )
+    if n_full == 0:
+        return verified
+    resolved = _minhash.resolve_pair_urls(
+        pairs.where(F.col("score") >= b), signatures,
+        broadcast_pairs=n_full <= cfg.broadcast_pairs_limit,
+    )
+    return verified.unionByName(resolved)
 
 
 # ---------------------------------------------------------------- simhash

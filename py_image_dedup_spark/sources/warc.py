@@ -59,28 +59,47 @@ def _http_body(payload: bytes) -> bytes:
     return b""
 
 
-def parse_warc(data: bytes) -> Iterator[dict]:
+def _resync(data: bytes, pos: int) -> int:
+    """Position of the next `WARC/` record boundary at/after `pos` (start
+    of a line), or len(data). Lets one torn record cost one record, not
+    the rest of the file."""
+    if data[pos : pos + 5] == b"WARC/":
+        return pos  # already at a boundary (e.g. right after a torn header)
+    nxt = data.find(b"\nWARC/", pos)
+    return nxt + 1 if nxt != -1 else len(data)
+
+
+def parse_warc(data: bytes, stats: dict | None = None) -> Iterator[dict]:
     """WARC bytes (plain or .gz) -> dicts (url, warc_ts, html) for every
     response record. Record framing per ISO 28500: version line, header
     lines to a blank line, Content-Length payload bytes, blank separator.
-    Non-response records (warcinfo/request/metadata) are skipped; records
+    Non-response records (warcinfo/request/metadata) are skipped. Records
     with unparsable headers are skipped, not fatal (a 100 TB crawl always
-    contains a few torn records)."""
+    contains a few torn records): the parser RESYNCS at the next line
+    starting `WARC/` — one torn record near the head of a ~1 GB file must
+    not silently discard the tail (ADVICE r3). `stats`, if given,
+    receives {"resyncs": n} so truncated ingest is observable."""
     if data[:2] == GZIP_MAGIC:
         data = gunzip_members(data)
     pos, n = 0, len(data)
+    resyncs = 0
     while pos < n:
         # skip inter-record blank lines
         while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n\n"):
             pos += 2
-        if not data[pos : pos + 5] == b"WARC/":
+        if pos >= n:
             break
+        if not data[pos : pos + 5] == b"WARC/":
+            resyncs += 1
+            pos = _resync(data, pos)
+            continue
         hdr_end = data.find(b"\r\n\r\n", pos)
         sep_len = 4
         if hdr_end == -1:
             hdr_end = data.find(b"\n\n", pos)
             sep_len = 2
         if hdr_end == -1:
+            resyncs += 1  # torn header block at EOF — nothing to frame
             break
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].split(b"\n")[1:]:
@@ -93,7 +112,12 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break  # cannot frame the payload; stop rather than misparse
+            # cannot frame this payload — drop THIS record, resync at the
+            # next boundary (payload bytes containing "\nWARC/" can cost a
+            # false resync of at most the one following record)
+            resyncs += 1
+            pos = _resync(data, hdr_end + sep_len)
+            continue
         body_start = hdr_end + sep_len
         payload = data[body_start : body_start + length]
         pos = body_start + length
@@ -105,6 +129,8 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                     "warc_ts": headers.get("warc-date", ""),
                     "html": _http_body(payload),
                 }
+    if stats is not None:
+        stats["resyncs"] = resyncs
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

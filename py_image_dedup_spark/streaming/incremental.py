@@ -239,40 +239,105 @@ def compact_band_store(
 def attach_metrics_listener(spark: SparkSession, metrics_path: str):
     """Per-micro-batch observability — the daemon analog of the reference's
     live Prometheus summaries (py_image_dedup/stats.py:18-20, scraped over
-    HTTP while the daemon runs; cli.py:75-78): a StreamingQueryListener
-    that appends one row per completed micro-batch to a parquet metrics
-    log the moment the batch finishes, not at job end.
+    HTTP while the daemon runs; cli.py:75-78): one parquet metrics row per
+    completed micro-batch, visible within ~a flush interval of the batch
+    finishing, not at job end.
+
+    Listener-bus hygiene (ADVICE r3): onQueryProgress only ENQUEUES the
+    row — no Spark job ever runs on the listener-bus thread (a blocking
+    write there backs up / drops listener events). A daemon flusher
+    thread drains the queue and writes BATCHED parquet appends, so a fast
+    trigger cadence coalesces many micro-batches into one file instead of
+    one tiny file each. Only queries started after attach are recorded
+    (not every query in the session), and when the last of them
+    terminates the flusher drains, DETACHES the listener, and exits.
 
     Schema: (query_id, batch_id, ts, input_rows, rows_per_sec,
-    trigger_ms). Returns the listener (pass to
-    spark.streams.removeListener to detach)."""
+    trigger_ms). Returns the listener (spark.streams.removeListener
+    detaches early; termination detaches automatically)."""
+    import queue as _queue
+    import threading
+
     from pyspark.sql.streaming import StreamingQueryListener
 
+    _SCHEMA = (
+        "query_id string, batch_id long, ts string, "
+        "input_rows long, rows_per_sec double, trigger_ms double"
+    )
+
     class _BatchMetrics(StreamingQueryListener):
+        def __init__(self):
+            self._q: _queue.Queue = _queue.Queue()
+            self._ids: set[str] = set()
+            self._live = 0
+            self._lock = threading.Lock()
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._flush_loop, daemon=True,
+                name="dedup-metrics-flusher",
+            )
+            self._thread.start()
+
+        # -- listener-bus callbacks: O(1), never touch Spark -------------
         def onQueryStarted(self, event):
-            pass
+            with self._lock:
+                self._ids.add(str(event.id))
+                self._live += 1
 
         def onQueryProgress(self, event):
             p = event.progress
-            row = (
+            if str(p.id) not in self._ids:
+                return  # not one of ours — don't record the whole session
+            self._q.put((
                 str(p.id),
                 int(p.batchId),
                 str(p.timestamp),
                 int(p.numInputRows),
                 float(p.processedRowsPerSecond or 0.0),
                 float((p.durationMs or {}).get("triggerExecution", 0)),
-            )
-            spark.createDataFrame(
-                [row],
-                "query_id string, batch_id long, ts string, "
-                "input_rows long, rows_per_sec double, trigger_ms double",
-            ).write.mode("append").parquet(metrics_path)
+            ))
 
         def onQueryIdle(self, event):
             pass
 
         def onQueryTerminated(self, event):
-            pass
+            with self._lock:
+                if str(event.id) in self._ids:
+                    self._live -= 1
+                    if self._live <= 0:
+                        self._stop.set()  # flusher drains + detaches
+
+        # -- flusher thread ----------------------------------------------
+        def _flush_loop(self):
+            failures = 0
+            while True:
+                stopping = self._stop.is_set()
+                rows = []
+                try:
+                    rows.append(self._q.get(timeout=0.5))
+                except _queue.Empty:
+                    pass
+                while True:
+                    try:
+                        rows.append(self._q.get_nowait())
+                    except _queue.Empty:
+                        break
+                if rows:
+                    try:
+                        spark.createDataFrame(rows, _SCHEMA).coalesce(
+                            1
+                        ).write.mode("append").parquet(metrics_path)
+                        failures = 0
+                    except Exception:  # session stopping / path gone
+                        failures += 1
+                        if failures >= 3:
+                            return
+                if stopping and self._q.empty():
+                    try:
+                        spark.streams.removeListener(self)
+                    except Exception:
+                        pass
+                    return
 
     listener = _BatchMetrics()
     spark.streams.addListener(listener)

@@ -104,3 +104,40 @@ def test_unknown_mode_rejected(spark, pages, tmp_path):
     cfg = DedupConfig(mode="nope")
     with pytest.raises(ValueError, match="unknown mode"):
         run_dedup_pipeline(spark, pages, cfg, str(tmp_path / "x"), resume=False)
+
+
+def test_minhash_full_band_short_circuit_equivalence(spark, pages):
+    """Pairs with score == lsh_bands (every band matched) bypass the
+    signature re-join with dist 0 — the output must be row-identical to
+    verifying them the long way (the short-circuit is a plan change, not
+    a semantics change)."""
+    from py_image_dedup_spark.operators import lsh as L
+    from py_image_dedup_spark.operators.exact import with_content_hash
+    from py_image_dedup_spark.operators.modes import (
+        _capped_self_join,
+        minhash_pairs,
+    )
+
+    cfg = DedupConfig()
+    # raw pages WITHOUT the exact pre-pass, so byte-identical variants
+    # (copy/casews) reach LSH and produce genuine full-band-agreement pairs
+    sigs = L.compute_signatures(with_content_hash(pages), cfg)
+
+    stats: dict = {}
+    got = sorted(
+        (r["url_a"], r["url_b"], r["dist"], r["score"])
+        for r in minhash_pairs(sigs, cfg, stats).collect()
+    )
+    assert stats["full_band_pairs"] > 0, "corpus must exercise the shortcut"
+
+    # the long way: verify EVERY pair through the signature probes
+    bands = L.explode_bands(sigs, cfg)
+    all_pairs = _capped_self_join(bands, cfg)
+    want = sorted(
+        (r["url_a"], r["url_b"], r["dist"], r["score"])
+        for r in L.verify_pairs(all_pairs, sigs, cfg, key="uid").collect()
+    )
+    assert got == want
+    # and the short-circuited pairs really read dist exactly 0.0
+    full = [t for t in got if t[3] == float(cfg.lsh_bands)]
+    assert full and all(t[2] == 0.0 for t in full)

@@ -636,3 +636,27 @@ def test_quality_filter_rules_and_reasons(spark):
     # reasons appear in the fixed rule order (auditable, deterministic)
     rs = out[3][1].split(",")
     assert rs == ["long_tokens", "low_stopword_ratio", "repetitive"]
+
+
+def test_quality_filter_fails_null_text(spark):
+    """ADVICE r3: a NULL-text document must FAIL the gate with a named
+    reason — every other rule's condition is NULL on NULL text, so
+    without the explicit rule it would pass with fail_reasons=''."""
+    from py_image_dedup_spark.functions.normalize import normalize_text
+    from py_image_dedup_spark.functions.textstats import quality_filter_cols
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    ).withColumn("norm_text", normalize_text("text"))
+    g = quality_filter_cols(F.col("text"), F.col("norm_text"))
+    out = {
+        r["doc_id"]: (r["quality_pass"], r["fail_reasons"])
+        for r in df.select(
+            "doc_id",
+            g["quality_pass"].alias("quality_pass"),
+            g["fail_reasons"].alias("fail_reasons"),
+        ).collect()
+    }
+    assert out[1] == (False, "null_text")
+    # empty string already fails on token count — unchanged behavior
+    assert out[2][0] is False and "too_few_tokens" in out[2][1]

@@ -62,6 +62,30 @@ def test_parse_tolerates_bare_payload_and_torn_tail():
     assert recs[0]["html"] == b"no http framing at all"
 
 
+def test_parse_resyncs_after_torn_record_near_head():
+    """ADVICE r3: a torn record near the HEAD must not discard the rest of
+    the file — the parser resyncs at the next WARC/ boundary and reports
+    the drop via stats."""
+    torn = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+    good = _record(
+        "response", "http://t.example/a", "2026-01-01T00:00:00Z",
+        _http(b"<p>alpha</p>"),
+    ) + _record(
+        "response", "http://t.example/b", "2026-01-01T00:00:01Z",
+        _http(b"<p>beta</p>"),
+    )
+    stats: dict = {}
+    recs = list(parse_warc(torn + good, stats))
+    assert [r["url"] for r in recs] == [
+        "http://t.example/a", "http://t.example/b"
+    ]
+    assert stats["resyncs"] == 1
+    # leading garbage (not even a WARC header) also resyncs
+    stats2: dict = {}
+    recs2 = list(parse_warc(b"garbage bytes\r\n" + good, stats2))
+    assert len(recs2) == 2 and stats2["resyncs"] == 1
+
+
 def test_read_warc_spark(spark, tmp_path):
     p = tmp_path / "crawl"
     os.makedirs(p)
