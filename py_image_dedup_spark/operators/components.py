@@ -36,13 +36,75 @@ from pyspark.sql import functions as F
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Unique undirected edges as (u = min endpoint, v = max endpoint)."""
+    """Undirected edges as (u = min endpoint, v = max endpoint). NOT
+    deduplicated — callers either distinct() or run _local_contract,
+    which subsumes the dedup without a shuffle."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
     return e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+    )
+
+
+def _local_contract(e: DataFrame) -> DataFrame:
+    """Partition-local union-find pre-pass (VERDICT r3 item 4): contract
+    each partition's edge fragment to star edges (local-component min →
+    member) BEFORE the global large-star/small-star rounds.
+
+    Connectivity-preserving: the union of per-partition spanning stars
+    has exactly the original connectivity (cross-partition merges still
+    happen globally, through shared vertices). Three wins:
+      * a NARROW map pass — it replaces the up-front global distinct()
+        (stars are distinct within a partition by construction; the rare
+        cross-partition duplicate star is absorbed by round 1's own
+        distinct, and the XOR+count convergence signature is multiset-
+        valid either way);
+      * the round-1 edge set shrinks to ≤ one edge per non-root vertex
+        per partition — duplicate-heavy pair lists collapse immediately;
+      * typical dup clusters (small, co-partitioned) arrive at round 1
+        already star-shaped, cutting the serial driver-launched round
+        count — the Amdahl tail behind the clusters stage's 1.51x 1→4
+        scaling in the r3 protocol.
+
+    Memory: one union-find dict over the partition's endpoints — pair
+    tables are orders of magnitude smaller than the corpus, and shuffle
+    sizing bounds a partition's edge count; the dict is O(distinct
+    endpoints in the partition)."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def kernel(batches):
+        import pandas as pd
+
+        parent: dict = {}
+        nodes: set = set()
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].to_list(), pdf["v"].to_list()):
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # min-root union: final root = comp min
+        us, vs = [], []
+        for x in nodes:
+            r = find(x)
+            if r != x:
+                us.append(r)
+                vs.append(x)
+        yield pd.DataFrame({"u": us, "v": vs})
+
+    return e.mapInPandas(kernel, schema=e.schema)
 
 
 def _sig(frame: DataFrame) -> tuple:
@@ -96,17 +158,23 @@ def connected_components(
     vertex_col: str = "url",
     max_iterations: int = 25,
     stats: dict | None = None,
+    local_contract: bool = True,
 ) -> DataFrame:
     """edges(src,dst) [+ vertices(vertex_col)] -> (url, cluster_id).
 
     cluster_id = min vertex of the component. Vertices absent from any edge
     become singleton clusters (cluster_id = own vertex) if a vertices frame
     is supplied. `stats`, if given, receives {"rounds": n, "converged": b}.
+    `local_contract` (default on) runs the per-partition union-find
+    pre-pass — a pure plan optimization, label-identical output (pytest
+    asserts equivalence on random graphs).
     """
     # lazy localCheckpoint: the _sig probe is the materializing action, so
     # each round costs exactly ONE job (driver job-launch latency is serial
     # at any cluster size — it directly caps N->4N scaling efficiency)
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    canon = _canonical_edges(edges, src, dst)
+    e = (_local_contract(canon) if local_contract else canon.distinct())
+    e = e.localCheckpoint(eager=False)
 
     prev = _sig(e)
     rounds = 0

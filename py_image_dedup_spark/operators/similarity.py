@@ -373,6 +373,11 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_threshold: int = 4096,
+    cell_cap: int = 65536,
+    n_salts: int = 16,
+    hot_pivots: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the IVF k-means
@@ -393,55 +398,164 @@ def semantic_dedup(
     twins always co-assign (identical direction => identical nearest
     centroid), so planted-dup recall is 1 at any nlist (pytest-gated).
 
+    Hot-cell guard (VERDICT r3 wrong #1): a DENSE embedding region — the
+    exact thing SemDeDup targets — lands whole in one cell, and an
+    unguarded within-cell self-join is O(|cell|^2) in a shape neither the
+    cap tiers nor AQE can split. Cells route through the text path's
+    three-tier logic (operators/modes._capped_self_join), adapted to the
+    fact that similarity edges need no aggregation:
+
+      size <= salt_threshold  plain within-cell self-join (exact)
+      size <= cell_cap        SALTED: A keyed by xxhash64(id) % n_salts,
+                              B replicated per salt — every pair scored
+                              exactly once, O(s^2) spread over n_salts
+                              tasks (exact, no recall loss)
+      size >  cell_cap        PIVOT STAR: members join only ~hot_pivots
+                              deterministic pivots (ids with
+                              xxhash64(id) % (size//hot_pivots) == 0) via
+                              a BROADCAST of the pivot side — O(s·P)
+                              edges, never O(s^2). A tight near-dup blob
+                              (the SemDeDup pathology) stays fully
+                              connected through any one pivot; only loose
+                              chains straddling pivots can over-split —
+                              strictly better than capping the cell, and
+                              every emitted edge still passes the exact
+                              cosine check. Reported via stats.
+
+    `stats`, if given, receives {"hot_cells", "warm_cells",
+    "hot_cell_rows"} — the A5 hot-bucket report's embedding analog.
+
     nlist=1 degenerates to exact global near-dup + CC, which the driver
-    contract exploits as a DuckDB recursive-CTE oracle."""
+    contract exploits as a DuckDB recursive-CTE oracle (testdata cells
+    stay under salt_threshold, so the tier guard is plan-invisible
+    there)."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, nlist=nlist, seed=seed, sample_limit=sample_limit,
             id_col=id_col, vec_col=vec_col,
         )
+    from py_image_dedup_spark.operators.components import (
+        connected_components,
+    )
+
     cells = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         F.element_at(
             _make_cell_udf(centroids, 1)(F.col(vec_col)), 1
         ).alias("cell"),
-    )
-    a = cells.select(
-        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cell"
-    )
-    b = cells.select(
-        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cell"
-    )
-    edges = (
-        a.join(b, "cell")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(
-            cosine_col(F.col("_va"), F.col("_vb"))
-            >= F.lit(float(threshold))
-        )
-        .select("_ida", "_idb")
-    )
-    from py_image_dedup_spark.operators.components import (
-        connected_components,
-    )
+    ).persist()
+    try:
+        # per-cell sizes: at most nlist rows — a driver-side tier map
+        size_rows = cells.groupBy("cell").count().collect()
+        cool_c = [r["cell"] for r in size_rows
+                  if r["count"] <= salt_threshold and r["count"] <= cell_cap]
+        warm_c = [r["cell"] for r in size_rows
+                  if salt_threshold < r["count"] <= cell_cap]
+        hot = {r["cell"]: r["count"] for r in size_rows
+               if r["count"] > cell_cap}
+        if stats is not None:
+            stats["hot_cells"] = len(hot)
+            stats["warm_cells"] = len(warm_c)
+            stats["hot_cell_rows"] = int(sum(hot.values()))
 
-    comp = connected_components(
-        edges,
-        vertices=cells.select(F.col(id_col)),
-        src="_ida",
-        dst="_idb",
-        vertex_col=id_col,
-    )
-    return (
-        cells.drop("_v")
-        .join(comp, id_col)
-        .select(
-            id_col,
-            "cell",
-            F.when(F.col("cluster_id") == F.col(id_col), F.lit("keep"))
-            .otherwise(F.lit("delete"))
-            .alias("action"),
-            F.col("cluster_id").alias("keep_id"),
+        sim_ok = lambda va, vb: (  # noqa: E731
+            cosine_col(F.col(va), F.col(vb)) >= F.lit(float(threshold))
         )
-    )
+        tiers = []
+        # cool: plain self-join on the cell key (filter skipped entirely
+        # when every cell is cool — the common plan stays unchanged)
+        if cool_c or not (warm_c or hot):
+            cool = (
+                cells.where(F.col("cell").isin(cool_c))
+                if (warm_c or hot) else cells
+            )
+            ca = cool.select(F.col(id_col).alias("_ida"),
+                             F.col("_v").alias("_va"), "cell")
+            cb = cool.select(F.col(id_col).alias("_idb"),
+                             F.col("_v").alias("_vb"), "cell")
+            tiers.append(
+                ca.join(cb, "cell").where(F.col("_ida") < F.col("_idb"))
+                .where(sim_ok("_va", "_vb")).select("_ida", "_idb")
+            )
+        if warm_c:
+            warm = cells.where(F.col("cell").isin(warm_c))
+            ns = max(1, n_salts)
+            wa = warm.select(
+                F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+                "cell",
+                F.pmod(F.xxhash64(id_col), F.lit(ns).cast("long"))
+                .alias("_salt"),
+            )
+            wb = warm.select(
+                F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+                "cell",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"),
+                               F.lit(ns - 1).cast("long"))
+                ).alias("_salt"),
+            )
+            tiers.append(
+                wa.join(wb, ["cell", "_salt"])
+                .where(F.col("_ida") < F.col("_idb"))
+                .where(sim_ok("_va", "_vb")).select("_ida", "_idb")
+            )
+        if hot:
+            hot_rows = cells.where(
+                F.col("cell").isin(list(hot.keys()))
+            )
+            # deterministic ~hot_pivots pivots per cell, no window, no
+            # sort: sampling rate from the driver-side size map
+            rate = F.create_map(*[
+                x for c, s in hot.items()
+                for x in (F.lit(int(c)),
+                          F.lit(max(1, int(s) // max(1, hot_pivots))))
+            ])
+            pivots = hot_rows.where(
+                F.pmod(F.xxhash64(id_col),
+                       rate[F.col("cell")].cast("long")) == 0
+            )
+            ha = hot_rows.select(
+                F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+                "cell",
+            )
+            hb = F.broadcast(pivots.select(
+                F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+                "cell",
+            ))
+            tiers.append(
+                ha.join(hb, "cell")
+                .where(F.col("_ida") != F.col("_idb"))
+                .where(sim_ok("_va", "_vb"))
+                .select(F.least("_ida", "_idb").alias("_ida"),
+                        F.greatest("_ida", "_idb").alias("_idb"))
+            )
+        edges = tiers[0]
+        for t in tiers[1:]:
+            edges = edges.unionByName(t)
+        # materialize the (pair-level, tier-bounded) edge list so the
+        # vector-carrying cell cache can be released afterwards
+        edges = edges.localCheckpoint(eager=True)
+
+        comp = connected_components(
+            edges,
+            vertices=cells.select(F.col(id_col)),
+            src="_ida",
+            dst="_idb",
+            vertex_col=id_col,
+        )
+        return (
+            cells.drop("_v")
+            .join(comp, id_col)
+            .select(
+                id_col,
+                "cell",
+                F.when(F.col("cluster_id") == F.col(id_col), F.lit("keep"))
+                .otherwise(F.lit("delete"))
+                .alias("action"),
+                F.col("cluster_id").alias("keep_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cells.unpersist()

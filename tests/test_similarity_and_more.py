@@ -660,3 +660,95 @@ def test_quality_filter_fails_null_text(spark):
     assert out[1] == (False, "null_text")
     # empty string already fails on token count — unchanged behavior
     assert out[2][0] is False and "too_few_tokens" in out[2][1]
+
+
+def test_semantic_dedup_hot_cell_guard(spark):
+    """VERDICT r3 wrong #1: a dense mega-cell (the SemDeDup pathology)
+    must route through the pivot-star tier — O(s·P) edges, not O(s^2) —
+    be reported via stats, and still fully dedup (a tight blob stays
+    connected through any one pivot)."""
+    import numpy as np
+
+    from py_image_dedup_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    base /= np.linalg.norm(base)
+    blob = [
+        (i, (base + 1e-4 * rng.standard_normal(8)).tolist())
+        for i in range(900)
+    ]
+    other = [(1000 + i, rng.standard_normal(8).tolist()) for i in range(20)]
+    corpus = spark.createDataFrame(
+        blob + other, "vec_id long, embedding array<float>"
+    )
+    stats: dict = {}
+    out = semantic_dedup(
+        corpus, threshold=0.99, nlist=2,
+        salt_threshold=50, cell_cap=200, hot_pivots=8, stats=stats,
+    ).collect()
+    assert stats["hot_cells"] >= 1
+    assert stats["hot_cell_rows"] >= 900
+    assert len(out) == 920
+    blob_rows = [r for r in out if r["vec_id"] < 1000]
+    assert len({r["keep_id"] for r in blob_rows}) == 1
+    assert sum(1 for r in blob_rows if r["action"] == "keep") == 1
+
+
+def test_semantic_dedup_salted_tier_equals_plain(spark):
+    """The warm (salted) tier is a plan change, not a semantics change:
+    every within-cell pair is scored exactly once, so the output must be
+    row-identical to the all-cool plan."""
+    import numpy as np
+
+    from py_image_dedup_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    # plant twins so the output has real delete actions
+    rows += [(5000 + i, rows[i][1]) for i in range(12)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+    def run(**kw):
+        return sorted(
+            (r["vec_id"], r["cell"], r["action"], r["keep_id"])
+            for r in semantic_dedup(
+                corpus, threshold=0.999, nlist=4, **kw
+            ).collect()
+        )
+
+    plain = run()  # defaults: every cell cool
+    salted = run(salt_threshold=10, cell_cap=100_000, n_salts=5)
+    assert plain == salted
+    assert any(a == "delete" for _, _, a, _ in plain)
+
+
+def test_cc_local_contract_equals_plain(spark):
+    """The partition-local union-find pre-pass is a plan change, not a
+    semantics change: labels must be identical to the uncontracted run on
+    a messy random multigraph (duplicates, both orientations, self-loops
+    at the caller level)."""
+    import random
+
+    rng = random.Random(33)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(300)]
+    edges += edges[:40]  # duplicates
+    edges += [(b, a) for a, b in edges[:25]]  # reversed copies
+    df = spark.createDataFrame(edges, "url_a long, url_b long").repartition(7)
+    verts = spark.createDataFrame([(i,) for i in range(130)], "url long")
+
+    def labels(local):
+        stats: dict = {}
+        got = connected_components(
+            df, vertices=verts, stats=stats, local_contract=local
+        )
+        return stats, {r["url"]: r["cluster_id"] for r in got.collect()}
+
+    s_on, on = labels(True)
+    s_off, off = labels(False)
+    assert on == off
+    assert s_on["converged"] and s_off["converged"]
+    # the pre-pass must not take MORE rounds than the plain path
+    assert s_on["rounds"] <= s_off["rounds"]
