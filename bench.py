@@ -89,7 +89,7 @@ def build_bench_session(app_name: str, shuffle_parts: int):
 
 
 def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
-    path = os.path.join(BENCH_CACHE, f"pages_v3_g{n_groups}_s{seed}.parquet")
+    path = os.path.join(BENCH_CACHE, f"pages_v4_g{n_groups}_s{seed}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generate_pages(spark, n_groups, seed=seed).write.mode(
             "overwrite"
@@ -109,7 +109,7 @@ def main() -> None:
     # generate the corpus (if missing) in a throwaway session so Python-
     # worker / heap residue from generation can't pollute the timed run
     corpus_path = os.path.join(
-        BENCH_CACHE, f"pages_v3_g{n_groups}_s42.parquet"
+        BENCH_CACHE, f"pages_v4_g{n_groups}_s42.parquet"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         gen = build_session(
@@ -170,6 +170,21 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
+    # corpus v4 is multilingual (lang-correlated function words): report the
+    # detected-language distribution so the langid heuristic is exercised at
+    # bench scale on the same corpus as the hash modes
+    lang_dist: dict[str, int] = {}
+    if not os.environ.get("BENCH_PIPELINE_ONLY"):
+        from py_image_dedup_spark.functions.textstats import langid_col
+
+        t0 = time.time()
+        lang_dist = {
+            r["lid"]: r["count"]
+            for r in pages.groupBy(langid_col("text").alias("lid"))
+            .count().collect()
+        }
+        queries["langid_scan"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()) - sum(
         queries[k] for k in queries if k.startswith("stage_")
     ), 3)  # stages are inside pipeline_e2e; don't double count
@@ -185,6 +200,7 @@ def main() -> None:
         "dedup_actions": n_actions,
         "dedup_docs_per_sec": docs_per_sec,
         "cpus": cpus,
+        **({"langid_dist": lang_dist} if lang_dist else {}),
         **skew,
     }))
     spark.stop()

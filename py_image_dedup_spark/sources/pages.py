@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from py_image_dedup_spark.functions.textstats import LANG_LEXICONS
+
 PAGES_SCHEMA = (
     "group_id long, variant string, url string, warc_ts timestamp, "
     "html binary, text string, lang string"
@@ -81,6 +83,23 @@ def _sample_words(rng: np.random.Generator, n: int) -> np.ndarray:
 
 _BASE_TS = pd.Timestamp("2024-01-01 00:00:00")
 
+# Corpus v4: language-correlated vocabulary. Each group draws a language
+# from a web-like skew (en 70%, de 15%, fr 10%, es 5%) and every 6th token
+# of every variant is a function word from that language's langid lexicon —
+# so `langid_col` actually detects the declared `lang` column, and per-lang
+# dedup scoping is exercised on the same corpus that exercises the hash
+# modes. The CV-syllable content vocab cannot collide with any lexicon word
+# (no lexicon word matches the consonant-vowel syllable shape), so langid's
+# argmax is driven purely by the inserted function words. Function words
+# recur corpus-wide, but at char-shingle k=10 each inserted word is flanked
+# by doc-specific content words, so background Jaccard stays ~0.
+_LANG_BY_RESIDUE = ["en"] * 14 + ["de"] * 3 + ["fr"] * 2 + ["es"]
+_LEX = {lang: np.array(words) for lang, words in LANG_LEXICONS.items()}
+
+
+def _lang_of(gid: int) -> str:
+    return _LANG_BY_RESIDUE[gid % 20]
+
 # Fixed global boilerplate block (nav/footer template analog): identical
 # across every group, so boiler pages are near-dups of EACH OTHER corpus-
 # wide — the Zipfian mega-bucket shape the hot-bucket cap exists for.
@@ -113,8 +132,12 @@ def _html(gid: int, text: str) -> bytes:
 
 def _group_rows(gid: int, seed: int) -> list[dict]:
     rng = np.random.default_rng([seed, gid])
+    lang = _lang_of(gid)
     n_words = int(rng.integers(80, 700))
     words = _sample_words(rng, n_words)
+    # every 6th token is a function word of the group's language (~17% mass,
+    # roughly natural-language function-word frequency at this lexicon size)
+    words[::6] = rng.choice(_LEX[lang], size=len(words[::6]))
     base = _render(words)
     site = f"https://site{gid % 100}.example/{gid}"
 
@@ -126,7 +149,7 @@ def _group_rows(gid: int, seed: int) -> list[dict]:
             "warc_ts": _BASE_TS + pd.Timedelta(seconds=gid * 3600 + ts_off_s),
             "html": _html(gid, text),
             "text": text,
-            "lang": "de" if gid % 20 == 19 else "en",
+            "lang": lang,
         }
 
     if gid % 2 == 1:  # singleton distractor

@@ -304,3 +304,21 @@ def test_meta_rules_flow_through_pipeline(spark, pages, ckpt):
         .count()
         == 0
     )
+
+
+def test_corpus_v4_langid_matches_declared_lang(spark, pages):
+    """Corpus v4 plants language-correlated function words (every 6th token
+    from the group lang's lexicon), so the langid heuristic must recover the
+    declared `lang` column on every original-variant doc, and all four
+    languages must be present at the web-like skew (en majority)."""
+    from py_image_dedup_spark.functions.textstats import langid_col
+
+    orig = pages.where(F.col("variant") == "original")
+    mism = orig.where(langid_col("text") != F.col("lang")).count()
+    assert mism == 0
+    langs = {
+        r["lang"]: r["count"]
+        for r in pages.groupBy("lang").count().collect()
+    }
+    assert set(langs) == {"en", "de", "fr", "es"}
+    assert langs["en"] > langs["de"] > langs["es"]
