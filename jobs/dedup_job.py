@@ -55,6 +55,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         f"(default: {','.join(DEFAULT_RULES)})")
     p.add_argument("--max-ts-delta-s", type=float, default=None)
     p.add_argument(
+        "--decontaminate-path", default=None,
+        help="parquet path of a benchmark/eval set; pages sharing a "
+             "verbatim --decontaminate-ngram token gram with it are "
+             "dropped before dedup (in-walk exclusion, "
+             "deduplicator.py:266-272 analog)")
+    p.add_argument("--decontaminate-ngram", type=int, default=None)
+    p.add_argument(
         "--stages", default="all",
         choices=["all", "pages_meta", "signatures", "pairs", "clusters"],
         help="run the pipeline only up to (and including) this stage; "
@@ -89,6 +96,8 @@ def build_config(args: argparse.Namespace) -> DedupConfig:
         "lsh_rows": args.rows,
         "bucket_cap": args.bucket_cap,
         "max_ts_delta_s": args.max_ts_delta_s,
+        "decontaminate_path": args.decontaminate_path,
+        "decontaminate_ngram": args.decontaminate_ngram,
     }
     overrides = {k: v for k, v in flag_map.items() if v is not None}
     if args.rules is not None:

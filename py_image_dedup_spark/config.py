@@ -130,6 +130,19 @@ class DedupConfig:
     shuffle_partitions: int | None = None
     dry_run: bool = False
 
+    # --- benchmark decontamination (optional pipeline pre-filter) ---
+    # Parquet path of the evaluation/benchmark set. When set, the pipeline
+    # drops every page sharing a verbatim decontaminate_ngram-token gram
+    # (over the SAME canonical normalization as content hashing) with any
+    # benchmark doc, before the exact pre-pass — the in-walk exclusion the
+    # reference applies during analysis (deduplicator.py:266-272), upgraded
+    # to LLM-training hygiene. The benchmark side broadcasts (eval sets are
+    # MBs); the corpus is scanned, never shuffled.
+    decontaminate_path: str | None = None
+    decontaminate_ngram: int = 13
+    # column holding the benchmark text at decontaminate_path
+    decontaminate_text_col: str = "text"
+
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_hashes:
             raise ValueError(

@@ -178,6 +178,7 @@ def run_dedup_pipeline(
             "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
         )
     metrics: list[dict] = []
+    caches: list[DataFrame] = []
     p = lambda s: os.path.join(checkpoint_dir, s)  # noqa: E731
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -204,6 +205,35 @@ def run_dedup_pipeline(
     if needs_meta:
         hashed = hashed.withColumn("meta", extract_meta_udf(F.col("html")))
 
+    # Optional benchmark decontamination — an in-walk exclusion like the
+    # reference's skip-list (deduplicator.py:266-272), applied before the
+    # exact pre-pass so contaminated pages never reach any dedup tier.
+    # Both sides gram over the SAME canonical normalization used for
+    # content hashing, so formatting noise can't hide a verbatim overlap.
+    if cfg.decontaminate_path:
+        from py_image_dedup_spark.functions.normalize import normalize_text
+        from py_image_dedup_spark.operators.decontaminate import (
+            contaminated_ids,
+        )
+
+        bench = spark.read.parquet(cfg.decontaminate_path).select(
+            normalize_text(cfg.decontaminate_text_col).alias("norm_text")
+        )
+        # the drop list is tiny (contaminated fraction of the corpus keyed
+        # by url); count it once for the metrics row, then anti-join it
+        # back as a broadcast — the corpus never shuffles for this stage
+        drops = contaminated_ids(
+            hashed, bench, n=cfg.decontaminate_ngram,
+            id_col="url", text_col="norm_text",
+        ).cache()
+        caches.append(drops)
+        n_drop = drops.count()
+        hashed = hashed.join(F.broadcast(drops), "url", "left_anti")
+        metrics.append(
+            {"stage": "pages_meta", "metric": "decontaminated_rows",
+             "value": float(n_drop)}
+        )
+
     # normalized+hashed projection feeds two stages; cache it instead of
     # recomputing the regex normalization + sha2 per consumer. SERIALIZED
     # storage (MEMORY_AND_DISK, not the deserialized default): norm_text
@@ -223,6 +253,8 @@ def run_dedup_pipeline(
 
     def _finish() -> dict[str, DataFrame]:
         hashed_full.unpersist()
+        for c in caches:
+            c.unpersist()
         results["metrics"] = _write_metrics(spark, metrics, cfg, p("metrics"))
         return results
 

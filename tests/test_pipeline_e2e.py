@@ -322,3 +322,38 @@ def test_corpus_v4_langid_matches_declared_lang(spark, pages):
     }
     assert set(langs) == {"en", "de", "fr", "es"}
     assert langs["en"] > langs["de"] > langs["es"]
+
+
+def test_decontaminate_pipeline_stage(spark, pages, ckpt, tmp_path):
+    """VERDICT r3 item 7: decontamination as an in-walk pipeline exclusion
+    (reference analog: skip-list filtering inside the analysis walk,
+    deduplicator.py:266-272). Plant one group's original text as the
+    benchmark set: every variant of that group shares a verbatim 13-gram
+    with it (copy/casews identical after normalization; trunc a prefix;
+    shufpara/edited keep long unedited runs) and must vanish from every
+    stage, with the dropped count surfaced as a metrics row."""
+    from py_image_dedup_spark.config import DedupConfig
+
+    target = (
+        pages.where("group_id = 2 and variant = 'original'")
+        .select("text").collect()[0][0]
+    )
+    bench_path = str(tmp_path / "bench_set")
+    spark.createDataFrame([(target,)], "text string").write.parquet(bench_path)
+
+    cfg = DedupConfig(max_dist=0.30, decontaminate_path=bench_path)
+    out = run_dedup_pipeline(spark, pages, cfg, ckpt, resume=False)
+
+    g2_urls = [r["url"] for r in pages.where("group_id = 2").collect()]
+    assert len(g2_urls) == 6
+    meta = out["pages_meta"]
+    assert meta.where(F.col("url").isin(g2_urls)).count() == 0
+    assert out["actions"].where(F.col("url").isin(g2_urls)).count() == 0
+    # only the planted group is dropped
+    assert meta.count() == pages.count() - len(g2_urls)
+    dropped = (
+        out["metrics"]
+        .where("stage = 'pages_meta' and metric = 'decontaminated_rows'")
+        .collect()
+    )
+    assert len(dropped) == 1 and dropped[0]["value"] == 6.0
