@@ -154,14 +154,30 @@ def main() -> None:
 
     discards: dict[int, int] = {n_lo: 0, n_hi: 0}
 
+    progress_path = os.path.join(REPO, "BENCH", "runs", "current_protocol.jsonl")
+    os.makedirs(os.path.dirname(progress_path), exist_ok=True)
+
+    def log_probe(kind: str, cpus: int, value: float, accepted: bool) -> None:
+        # EVERY probe reading — accepted or rejected — is archived with the
+        # reference it was judged against, so a post-hoc audit can verify
+        # gate integrity from the jsonl alone (VERDICT r3 item 10)
+        with open(progress_path, "a") as f:
+            f.write(json.dumps({
+                "probe": kind, "execs": cpus, "tasks_per_s": value,
+                "quiet_ref": round(quiet_ref(), 2), "accepted": accepted,
+                "ts": round(time.time(), 1),
+            }) + "\n")
+
     def gated_bench(cpus: int) -> dict:
         for attempt in range(8):
             pre = probe4()
             if pre < 0.9 * quiet_ref():
+                log_probe("pre", cpus, pre, False)
                 print(f"  [probe {pre} < 0.9x{quiet_ref():.2f}: host busy, "
                       "wait 60s]", flush=True)
                 time.sleep(60)
                 continue
+            log_probe("pre", cpus, pre, True)
             probe_hist.append(pre)
             try:
                 res = bench_once(cpus, sf_dir, groups)
@@ -173,7 +189,9 @@ def main() -> None:
                 time.sleep(30)
                 continue
             post = probe4()
-            if post >= 0.9 * quiet_ref():
+            accepted = post >= 0.9 * quiet_ref()
+            log_probe("post", cpus, post, accepted)
+            if accepted:
                 probe_hist.append(post)
                 probe1_hist.append(probe1())
                 return res
@@ -183,9 +201,6 @@ def main() -> None:
         # host never went quiet: take one ungated run, flagged
         discards[cpus] += 1000  # sentinel: report marks level as noisy
         return bench_once(cpus, sf_dir, groups)
-
-    progress_path = os.path.join(REPO, "BENCH", "runs", "current_protocol.jsonl")
-    os.makedirs(os.path.dirname(progress_path), exist_ok=True)
 
     for r in range(runs):
         for cpus in (n_lo, n_hi):  # interleave so load noise hits both
@@ -310,7 +325,10 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
         "on machine availability, never on the measured value). Discarded "
         f"runs: {discards[n_lo] % 1000} at N, {discards[n_hi] % 1000} at 4N"
         + (" (host never went quiet at some level: >=1 ungated run kept, "
-           "flagged)" if max(discards.values()) >= 1000 else "") + ".",
+           "flagged)" if max(discards.values()) >= 1000 else "") + " "
+        "Every probe reading — accepted or rejected — is archived with the "
+        "reference it was judged against in the protocol jsonl under "
+        "BENCH/runs/, so gate integrity is auditable post hoc.",
         "",
         "Caveats: shared multi-tenant host — co-tenant load adds 1.5-2x "
         "run-to-run noise (hence medians over interleaved runs); "
