@@ -146,6 +146,17 @@ def main(argv: list[str] | None = None) -> int:
             for r in out["actions"].groupBy("action").count().collect()
         }
         print(f"actions summary: {summary}")
+        # reference-style end-of-run console summary
+        # (deduplication_result.py:76-119): counts + per-stage table +
+        # a BOUNDED sample of duplicate rows — never a corpus-scale collect
+        from py_image_dedup_spark.plans.report import format_run_summary
+
+        sample = [
+            r.asDict()
+            for r in out["actions"].where("action != 'keep'").limit(10).collect()
+        ]
+        metrics_rows = [r.asDict() for r in out["metrics"].collect()]
+        print(format_run_summary(metrics_rows, summary, sample))
     else:
         last = [s for s in out if s != "metrics"][-1]
         print(f"stopped after stage {last}: {out[last].count()} rows")

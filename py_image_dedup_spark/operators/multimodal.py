@@ -12,9 +12,12 @@ are two REAL pure-NumPy codecs (no external libraries needed):
            + all five scanline filters in NumPy) + encode (filter 0)
   * WAV  — RIFF/WAVE PCM 8/16-bit, decode + encode
            (audio_features runs end-to-end on real bytes)
+  * JPEG — baseline sequential DCT (T.81): Huffman decode of any
+           sampling layout + grayscale encode with Annex K tables
+           (operators/jpeg.py)
 
-Payloads in other formats (JPEG/MP3/video containers) need PIL /
-soundfile / ffmpeg, which are not in this container: the kernels raise
+Payloads in other formats (progressive JPEG / MP3 / video containers)
+need PIL / soundfile / ffmpeg, which are not in this container: the kernels raise
 NotImplementedError for them unless `fake=True`, which produces a
 deterministic pseudo-decode suitable for pipeline testing. A real
 deployment swaps the per-payload decode call inside the same batch
@@ -34,6 +37,12 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from py_image_dedup_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
 
 IMAGE_FEATURES_SCHEMA = (
     "url string, width int, height int, n_bytes long, phash long"
@@ -319,11 +328,14 @@ def image_features(
                 elif is_png(data):
                     w, h, gray = decode_png(data)
                     gray8 = _pool8(gray)
+                elif is_jpeg(data):
+                    w, h, gray = decode_jpeg(data)
+                    gray8 = _pool8(gray)
                 else:
                     raise NotImplementedError(
-                        "image decoding beyond BMP/PNG requires "
-                        "PIL/libvips (not in this container); pass "
-                        "fake=True for the deterministic stub"
+                        "image decoding beyond BMP/PNG/baseline-JPEG "
+                        "requires PIL/libvips (not in this container); "
+                        "pass fake=True for the deterministic stub"
                     )
                 rows.append(
                     {
@@ -450,9 +462,14 @@ def resize_images(
                     body = encode_png(
                         _resample_nearest(gray, target_h, target_w)
                     )
+                elif is_jpeg(data):
+                    _, _, gray = decode_jpeg(data)
+                    body = encode_jpeg(
+                        _resample_nearest(gray, target_h, target_w)
+                    )
                 else:
                     raise NotImplementedError(
-                        "resizing beyond BMP/PNG requires "
+                        "resizing beyond BMP/PNG/baseline-JPEG requires "
                         "PIL/libvips (not in this container); pass "
                         "fake=True for the deterministic stub"
                     )

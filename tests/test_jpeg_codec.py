@@ -1,0 +1,207 @@
+"""Pure-NumPy baseline JPEG codec (operators/jpeg.py) — no Spark needed.
+
+The grayscale encoder doubles as the decoder's roundtrip oracle; the
+multi-component / subsampled / restart-marker decode paths are validated
+against a test-local 4:2:0 color encoder built from the module's own
+primitive helpers (forward direction only — the decoder must invert it).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from py_image_dedup_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    _BitWriter,
+    _DCT_C,
+    _huff_encode_map,
+    _magnitude,
+    _quality_qtable,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+
+def _test_image(h: int, w: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    return (
+        128 + 90 * np.sin(x / 9.0) * np.cos(y / 7.0)
+        + rng.normal(0, 6, (h, w))
+    ).clip(0, 255)
+
+
+def test_roundtrip_quality_ladder():
+    img = _test_image(41, 57)  # non-multiple-of-8 dims on purpose
+    for q, tol in ((95, 2.5), (85, 5.0), (50, 10.0)):
+        data = encode_jpeg(img, quality=q)
+        assert is_jpeg(data)
+        w, h, dec = decode_jpeg(data)
+        assert (w, h) == (57, 41)
+        assert np.abs(dec - img).mean() < tol
+
+
+def test_smooth_image_near_exact():
+    y, x = np.mgrid[0:24, 0:32]
+    smooth = (y * 2.0 + x * 1.5).clip(0, 255)
+    _, _, dec = decode_jpeg(encode_jpeg(smooth, 95))
+    assert np.abs(dec - smooth).mean() < 0.5
+
+
+def test_flat_and_tiny_blocks():
+    flat = np.full((16, 16), 200.0)
+    _, _, d = decode_jpeg(encode_jpeg(flat, 85))
+    assert np.abs(d - flat).max() < 2
+    _, _, d1 = decode_jpeg(encode_jpeg(np.array([[37.0]]), 85))
+    assert d1.shape == (1, 1) and abs(float(d1[0, 0]) - 37) < 20
+
+
+def test_zrl_long_zero_run():
+    """A lone high-frequency coefficient forces the 16-zero-run (ZRL)
+    encode path; the decoder must land it in the right cell."""
+    img = np.zeros((8, 8))
+    img[7, 7] = 255.0
+    _, _, dec = decode_jpeg(encode_jpeg(img, 95))
+    assert float(dec[7, 7]) > 200
+    assert np.abs(dec - img).mean() < 2
+
+
+def test_non_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+    assert not is_jpeg(b"BMnope")
+
+
+def test_progressive_rejected():
+    """SOF2 must raise NotImplementedError, not misdecode."""
+    data = bytearray(encode_jpeg(np.full((8, 8), 100.0), 85))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+# -------------------------- test-local 4:2:0 color encoder (forward oracle)
+
+def _encode_block(bw, block, qt2, pred, dc_map, ac_map):
+    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    q = np.round(coef / qt2).astype(np.int64).reshape(64)
+    zz = q[ZIGZAG]
+    s, code = _magnitude(int(zz[0]) - pred)
+    hc, hl = dc_map[s]
+    bw.write(hc, hl)
+    if s:
+        bw.write(code, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            hc, hl = ac_map[0x00]
+            bw.write(hc, hl)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_map[0xF0]
+            bw.write(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = ac_map[(run << 4) | s]
+        bw.write(hc, hl)
+        bw.write(code, s)
+        run = 0
+    return int(zz[0])
+
+
+def _encode_color_420(ypl, cb, cr, quality=90, dri=0):
+    """Minimal interleaved 4:2:0 color JPEG (luma tables for every
+    component — legal per T.81). Dims must be multiples of 16; cb/cr are
+    the half-resolution planes. Optional restart interval `dri` in MCUs."""
+    h, w = ypl.shape
+    assert h % 16 == 0 and w % 16 == 0
+    qt = _quality_qtable(quality)
+    qt2 = qt.reshape(8, 8)
+    dc_map = _huff_encode_map(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_map = _huff_encode_map(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    out_ecs = bytearray()
+    mcux, mcuy = w // 16, h // 16
+    rst = 0
+    m = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and m and m % dri == 0:
+                out_ecs += bw.flush()
+                out_ecs += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0, 0, 0]
+            for by in range(2):
+                for bx in range(2):
+                    blk = ypl[
+                        my * 16 + by * 8: my * 16 + by * 8 + 8,
+                        mx * 16 + bx * 8: mx * 16 + bx * 8 + 8,
+                    ]
+                    preds[0] = _encode_block(
+                        bw, blk, qt2, preds[0], dc_map, ac_map
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                blk = plane[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8]
+                preds[ci] = _encode_block(
+                    bw, blk, qt2, preds[ci], dc_map, ac_map
+                )
+            m += 1
+    out_ecs += bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qt_zz = qt[ZIGZAG].astype(np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + qt_zz.tobytes())
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+              + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    parts = [b"\xff\xd8", dqt, sof, dht]
+    if dri:
+        parts.append(seg(0xDD, struct.pack(">H", dri)))
+    parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])))
+    parts.append(bytes(out_ecs))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def test_color_420_decode_recovers_luma():
+    """Interleaved 3-component 4:2:0 stream: the decoder must step over
+    the chroma blocks in the bitstream and recover the luma plane."""
+    ypl = _test_image(32, 48, seed=3)
+    cb = _test_image(16, 24, seed=4) * 0.5 + 64
+    cr = _test_image(16, 24, seed=5) * 0.5 + 64
+    data = _encode_color_420(ypl, cb, cr, quality=90)
+    w, h, dec = decode_jpeg(data)
+    assert (w, h) == (48, 32)
+    assert np.abs(dec - ypl).mean() < 4
+
+
+def test_color_420_with_restart_markers():
+    """DRI/RSTn: DC predictors reset and the bitstream re-aligns at every
+    restart — a wrong implementation shears the image after the first
+    marker."""
+    ypl = _test_image(32, 48, seed=11)
+    cb = np.full((16, 24), 90.0)
+    cr = np.full((16, 24), 150.0)
+    data = _encode_color_420(ypl, cb, cr, quality=90, dri=2)
+    w, h, dec = decode_jpeg(data)
+    assert (w, h) == (48, 32)
+    assert np.abs(dec - ypl).mean() < 4
