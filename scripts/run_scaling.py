@@ -118,6 +118,17 @@ def main() -> None:
     probe = cpu_probe()
     print(f"cpu probe (tasks/s by threads): {probe}", flush=True)
 
+    # Anchor the quiet band on a SPACED multi-sample median, not the single
+    # startup reading: a turbo burst during startup otherwise mis-anchors
+    # the whole session (observed in the r4 tmpfs attempt: an 11.40 tasks/s
+    # startup burst vs 9.2-10.2 steady state rejected every later probe).
+    anchor_samples = [probe[4]]
+    for _ in range(4):
+        time.sleep(15)
+        anchor_samples.append(probe4())
+    anchor = statistics.median(anchor_samples)
+    print(f"quiet anchor {anchor} from {anchor_samples}", flush=True)
+
     results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     bench_once(n_hi, sf_dir, groups)  # warm-up, discarded; generates corpus
 
@@ -138,7 +149,7 @@ def main() -> None:
     # band from ratcheting the reference down gradually; the median (not
     # session max) stops one turbo outlier from ratcheting it up
     # (measured round-2 failure: one 12.15 tasks/s reading vs 9-10 steady).
-    probe_hist: list[float] = [probe[4]]
+    probe_hist: list[float] = [anchor]
     probe1_hist: list[float] = [probe[1]]
 
     def quiet_ref() -> float:
@@ -154,7 +165,7 @@ def main() -> None:
         # normal readings were rejected against it (see the archived
         # probe series in BENCH/runs/attempt11_r4_1v4.jsonl)
         recent = statistics.median(probe_hist[-9:])
-        return min(max(recent, 0.8 * probe[4]), 1.05 * probe[4])
+        return min(max(recent, 0.8 * anchor), 1.05 * anchor)
 
     discards: dict[int, int] = {n_lo: 0, n_hi: 0}
 
