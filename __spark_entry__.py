@@ -457,6 +457,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pipeline(d, cfg)
 
 
+def q_minhash_variants_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + normalization-variant signatures (the ALL_ORIENTATIONS analog,
+    reference config.py:175-186): cfg.norm_variants adds a strip_punct
+    signature stream riding the same band join at offset band_ids
+    (operators/lsh.py:explode_bands); dist = MIN across variants
+    (operators/lsh.py:verify_pairs). Oracle recomputes BOTH OPH streams
+    bit-for-bit and applies the same either-stream candidate / min-dist
+    verify semantics (_minhash_variants_sql)."""
+    cfg = DedupConfig(max_dist=0.5, norm_variants=("strip_punct",))
+    d = _docs(spark, sf_dir).select("url", "norm_text")
+    return lsh_candidate_pipeline(d, cfg)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style unit-level dedup (operators/paragraphs.py): remove
     every sentence occurring in >= 2 distinct documents, preserving
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_kperm": q_minhash_lsh_pairs_kperm,
+        "minhash_variants_pairs": q_minhash_variants_pairs,
         "simhash_pairs": q_simhash_pairs,
     }
 
@@ -697,13 +711,20 @@ def _mulmod_sql(col: str, c: int) -> str:
     )
 
 
-def _shingle_hash_ctes(seed: int, k: int = 10, distinct: bool = False) -> str:
+def _shingle_hash_ctes(seed: int, k: int = 10, distinct: bool = False,
+                       suffix: str = "", nt_expr: str | None = None,
+                       with_kw: bool = True) -> str:
     """Shared CTE chain `d -> sh -> ... -> m5(url, mh)`: the bit-exact
     DuckDB twin of functions/minhash.py:shingle_hashes_u64 — byte-
     polynomial rolling hash per k-char shingle (whole text when shorter,
     0 when empty), then the splitmix64 finalizer, all mod-2^64 HUGEINT
     arithmetic. `distinct` mirrors np.unique for consumers where
-    multiplicity matters (simhash votes); min-consumers skip it."""
+    multiplicity matters (simhash votes); min-consumers skip it.
+
+    `suffix` renames every CTE (d{suffix} .. m5{suffix}) so two chains —
+    e.g. the canonical and a normalization-variant stream — compose in one
+    WITH; `nt_expr` overrides the normalization expression; `with_kw=False`
+    omits the leading WITH for chains appended after the first."""
     seed_plus = (seed + _SM_ADD) % _MOD64
     polyfold = (
         "list_reduce(list_prepend(0::HUGEINT, "
@@ -712,22 +733,25 @@ def _shingle_hash_ctes(seed: int, k: int = 10, distinct: bool = False) -> str:
         f"(acc, x) -> (acc * 1099511628211 + x) % {_MOD64})"
     )
     dk = "DISTINCT " if distinct else ""
+    nt = nt_expr or _NT
+    w = "WITH " if with_kw else ""
+    x = suffix
     return f"""
-        WITH d AS (
-          SELECT {_URL} AS url, {_NT} AS nt FROM documents
-        ), sh AS (
+        {w}d{x} AS (
+          SELECT {_URL} AS url, {nt} AS nt FROM documents
+        ), sh{x} AS (
           SELECT url, unnest(CASE WHEN length(nt) >= {k}
             THEN list_transform(range(1, length(nt) - {k - 2}),
                                 i -> substr(nt, i::INT, {k}))
             ELSE [nt] END) AS s
-          FROM d
-        ), h1 AS (SELECT url, {polyfold} AS ph FROM sh
-        ), m0 AS (SELECT url, (ph + {seed_plus}) % {_MOD64} AS z FROM h1
-        ), m1 AS (SELECT url, xor(z, z >> 30) AS z FROM m0
-        ), m2 AS (SELECT url, {_mulmod_sql('z', _SM_C1)} AS z FROM m1
-        ), m3 AS (SELECT url, xor(z, z >> 27) AS z FROM m2
-        ), m4 AS (SELECT url, {_mulmod_sql('z', _SM_C2)} AS z FROM m3
-        ), m5 AS (SELECT {dk}url, xor(z, z >> 31) AS mh FROM m4
+          FROM d{x}
+        ), h1{x} AS (SELECT url, {polyfold} AS ph FROM sh{x}
+        ), m0{x} AS (SELECT url, (ph + {seed_plus}) % {_MOD64} AS z FROM h1{x}
+        ), m1{x} AS (SELECT url, xor(z, z >> 30) AS z FROM m0{x}
+        ), m2{x} AS (SELECT url, {_mulmod_sql('z', _SM_C1)} AS z FROM m1{x}
+        ), m3{x} AS (SELECT url, xor(z, z >> 27) AS z FROM m2{x}
+        ), m4{x} AS (SELECT url, {_mulmod_sql('z', _SM_C2)} AS z FROM m3{x}
+        ), m5{x} AS (SELECT {dk}url, xor(z, z >> 31) AS mh FROM m4{x}
         )"""
 
 
@@ -792,34 +816,90 @@ def _minhash_oph_sql() -> str:
     pairs whose lists agree on a full 4-slot band. Verified bit-identical
     to the NumPy kernel on empty/short/repeated-char and long texts."""
     nh, rows_per_band, bands, max_dist = 128, 4, 32, 0.5
-    band_hits = " + ".join(
-        f"(CASE WHEN a.sig[{j * rows_per_band + 1}:{(j + 1) * rows_per_band}]"
-        f" = b.sig[{j * rows_per_band + 1}:{(j + 1) * rows_per_band}] "
-        "THEN 1 ELSE 0 END)"
-        for j in range(bands)
-    )
+    band_hits = _oph_band_hits_sql("a", "b", "sig", bands, rows_per_band)
     return f"""
-        {_shingle_hash_ctes(seed=42)}, b AS (
-          SELECT url, mh >> 57 AS bin, min(mh) AS v
-          FROM m5 GROUP BY url, mh >> 57
-        ), mp AS (
-          SELECT url, map(list(bin ORDER BY bin), list(v ORDER BY bin)) AS m
-          FROM b GROUP BY url
-        ), arr AS (
-          SELECT url, list_transform(range(0, {nh}), i -> m[i][1]) AS a0
-          FROM mp
-        ), sig_t AS (
-          SELECT url, list_transform(range(0, {nh}),
-            i -> a0[1 + (i + list_filter(range(0, {nh}),
-                   s -> a0[1 + ((i + s) % {nh})] IS NOT NULL)[1]) % {nh}]
-                 % 4294967296) AS sig
-          FROM arr
-        ), pr AS (
+        {_shingle_hash_ctes(seed=42)}{_oph_sig_chain(nh)}, pr AS (
           SELECT a.url AS url_a, b.url AS url_b,
                  ({band_hits})::DOUBLE AS score,
                  1.0 - len(list_filter(range(1, {nh} + 1),
                            i -> a.sig[i] = b.sig[i]))::DOUBLE / {nh} AS dist
           FROM sig_t a JOIN sig_t b ON a.url < b.url
+        )
+        SELECT url_a, url_b, dist, score
+        FROM pr WHERE score >= 1 AND dist <= {max_dist}
+    """
+
+
+def _oph_sig_chain(nh: int, suffix: str = "") -> str:
+    """OPH signature CTEs `m5{suffix} -> sig_t{suffix}(url, sig)` — the
+    densified one-permutation kernel (bin by top-7 hash bits, per-bin min,
+    circular right-borrow densification, low-32-bit truncation), suffixed
+    so multiple normalization streams compose in one WITH."""
+    x = suffix
+    return f""", b{x} AS (
+          SELECT url, mh >> 57 AS bin, min(mh) AS v
+          FROM m5{x} GROUP BY url, mh >> 57
+        ), mp{x} AS (
+          SELECT url, map(list(bin ORDER BY bin), list(v ORDER BY bin)) AS m
+          FROM b{x} GROUP BY url
+        ), arr{x} AS (
+          SELECT url, list_transform(range(0, {nh}), i -> m[i][1]) AS a0
+          FROM mp{x}
+        ), sig_t{x} AS (
+          SELECT url, list_transform(range(0, {nh}),
+            i -> a0[1 + (i + list_filter(range(0, {nh}),
+                   s -> a0[1 + ((i + s) % {nh})] IS NOT NULL)[1]) % {nh}]
+                 % 4294967296) AS sig
+          FROM arr{x}
+        )"""
+
+
+def _oph_band_hits_sql(a: str, b: str, col: str, bands: int,
+                       rows_per_band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}.{col}[{j * rows_per_band + 1}:"
+        f"{(j + 1) * rows_per_band}]"
+        f" = {b}.{col}[{j * rows_per_band + 1}:{(j + 1) * rows_per_band}] "
+        "THEN 1 ELSE 0 END)"
+        for j in range(bands)
+    )
+
+
+# DuckDB twin of functions/normalize._strip_punct over the canonical _NT
+_NT_STRIP_PUNCT = (
+    "trim(regexp_replace(regexp_replace("
+    + _NT + ", '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _minhash_variants_sql() -> str:
+    """SQL twin of q_minhash_variants_pairs: TWO OPH signature streams per
+    url — the canonical normalization and the strip_punct variant
+    (operators/modes.py:minhash_signatures with
+    norm_variants=('strip_punct',)) — candidates = pairs agreeing on a
+    full band in EITHER stream (band_id ranges are disjoint, so total
+    score is the sum), verified at dist = MIN over the two signature
+    estimates (the reference's best-orientation semantic)."""
+    nh, rows_per_band, bands, max_dist = 128, 4, 32, 0.5
+    h0 = _oph_band_hits_sql("a", "b", "sig", bands, rows_per_band)
+    h1 = _oph_band_hits_sql("av", "bv", "sig", bands, rows_per_band)
+    return f"""
+        {_shingle_hash_ctes(seed=42)}{_oph_sig_chain(nh)},
+        {_shingle_hash_ctes(seed=42, suffix="v", nt_expr=_NT_STRIP_PUNCT,
+                            with_kw=False).lstrip()}{_oph_sig_chain(
+                                nh, suffix="v")}, pr AS (
+          SELECT a.url AS url_a, b.url AS url_b,
+                 ({h0})::DOUBLE + ({h1})::DOUBLE AS score,
+                 least(
+                   1.0 - len(list_filter(range(1, {nh} + 1),
+                             i -> a.sig[i] = b.sig[i]))::DOUBLE / {nh},
+                   1.0 - len(list_filter(range(1, {nh} + 1),
+                             i -> av.sig[i] = bv.sig[i]))::DOUBLE / {nh}
+                 ) AS dist
+          FROM sig_t a
+          JOIN sig_t b ON a.url < b.url
+          JOIN sig_tv av ON av.url = a.url
+          JOIN sig_tv bv ON bv.url = b.url
         )
         SELECT url_a, url_b, dist, score
         FROM pr WHERE score >= 1 AND dist <= {max_dist}
@@ -1478,5 +1558,6 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "minhash_lsh_pairs": _minhash_oph_sql(),
         "minhash_lsh_pairs_kperm": _minhash_kperm_sql(),
+        "minhash_variants_pairs": _minhash_variants_sql(),
         "simhash_pairs": _simhash_sql(),
     }

@@ -89,7 +89,7 @@ def build_bench_session(app_name: str, shuffle_parts: int):
 
 
 def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
-    path = os.path.join(BENCH_CACHE, f"pages_v4_g{n_groups}_s{seed}.parquet")
+    path = os.path.join(BENCH_CACHE, f"pages_v4_1_g{n_groups}_s{seed}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generate_pages(spark, n_groups, seed=seed).write.mode(
             "overwrite"
@@ -109,7 +109,7 @@ def main() -> None:
     # generate the corpus (if missing) in a throwaway session so Python-
     # worker / heap residue from generation can't pollute the timed run
     corpus_path = os.path.join(
-        BENCH_CACHE, f"pages_v4_g{n_groups}_s42.parquet"
+        BENCH_CACHE, f"pages_v4_1_g{n_groups}_s42.parquet"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         gen = build_session(

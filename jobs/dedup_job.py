@@ -75,6 +75,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
              "'--from-stage pairs' is the reference's --skip-analyse-phase "
              "(py_image_dedup/cli.py:49-52): reuse the committed index, "
              "redo find/select")
+    p.add_argument("--no-cache-pages", action="store_true",
+                   help="skip persisting the normalized+hashed projection "
+                        "(the corpus >> cluster-RAM shape: consumers "
+                        "recompute the narrow map from the scan)")
+    p.add_argument("--norm-variants", default=None,
+                   help="comma list of extra canonical normalizations to "
+                        "sign under (ALL_ORIENTATIONS analog), e.g. "
+                        "strip_punct")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--master", default=None)
@@ -106,6 +114,12 @@ def build_config(args: argparse.Namespace) -> DedupConfig:
         )
     if args.dry_run:
         overrides["dry_run"] = True
+    if args.no_cache_pages:
+        overrides["cache_pages"] = False
+    if args.norm_variants is not None:
+        overrides["norm_variants"] = tuple(
+            v for v in args.norm_variants.split(",") if v
+        )
     return config_from_sources(yaml_path=args.config_yaml, **overrides)
 
 
@@ -151,10 +165,28 @@ def main(argv: list[str] | None = None) -> int:
         # a BOUNDED sample of duplicate rows — never a corpus-scale collect
         from py_image_dedup_spark.plans.report import format_run_summary
 
+        # enrich the bounded sample with the real per-doc distance from the
+        # clusters stage (the actions table deliberately doesn't carry dist;
+        # a constant placeholder column would read as a measurement). The
+        # lookup is an isin over <=10 urls — a pushed-down filter scan of
+        # one stage table, never corpus-scale work.
         sample = [
             r.asDict()
             for r in out["actions"].where("action != 'keep'").limit(10).collect()
         ]
+        if "clusters" in out and sample:
+            from pyspark.sql import functions as F
+
+            urls = [r["url"] for r in sample]
+            dmap = {
+                r["url"]: r["dist"]
+                for r in out["clusters"]
+                .where(F.col("url").isin(urls))
+                .select("url", "dist")
+                .collect()
+            }
+            for r in sample:
+                r["dist"] = dmap.get(r["url"])
         metrics_rows = [r.asDict() for r in out["metrics"].collect()]
         print(format_run_summary(metrics_rows, summary, sample))
     else:

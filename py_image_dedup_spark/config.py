@@ -61,6 +61,16 @@ class DedupConfig:
     # num_hashes); "kperm" = classic Broder k-permutation (the verification
     # baseline). Positionwise-comparable signatures either way.
     minhash_kernel: str = "oph"
+    # Extra canonical normalizations to sign under, the ALL_ORIENTATIONS
+    # analog (reference config.py:175-186: hash every rotation/flip so a
+    # rotated duplicate still matches). Names from
+    # functions.normalize.VARIANT_NORMALIZERS (e.g. "strip_punct"); each
+    # adds one signature column + one banded stream riding the SAME bucket
+    # self-join (band_id offset per variant), and verification takes the
+    # MIN dist across variants — a pair identical under any one canonical
+    # form is a duplicate. Off by default: every variant multiplies
+    # signature/band bytes by ~(1+len)/1.
+    norm_variants: tuple[str, ...] = ()
 
     # --- SimHash mode ---
     simhash_bits: int = 64
@@ -129,6 +139,12 @@ class DedupConfig:
     # protocol runs N and 4N cores over the identical plan by fixing this.
     shuffle_partitions: int | None = None
     dry_run: bool = False
+    # persist the normalized+hashed projection (MEMORY_AND_DISK,
+    # serialized) between its two consumer stages. True wins while the
+    # working set fits executor storage; False is the corpus >> cluster-RAM
+    # shape — recompute the narrow normalize+hash map per consumer, which
+    # is what a 100 TB run does anyway once the cache would only thrash
+    cache_pages: bool = True
 
     # --- benchmark decontamination (optional pipeline pre-filter) ---
     # Parquet path of the evaluation/benchmark set. When set, the pipeline
@@ -142,6 +158,13 @@ class DedupConfig:
     decontaminate_ngram: int = 13
     # column holding the benchmark text at decontaminate_path
     decontaminate_text_col: str = "text"
+    # broadcast the benchmark gram set (False = compact-hash shuffle
+    # semi-join for benchmark sets beyond broadcast budget)
+    decontaminate_broadcast: bool = True
+    # drop lists above this row count skip the forced broadcast anti-join
+    # and shuffle instead — a heavily contaminated corpus (or a tiny n)
+    # can produce a drop list far beyond driver/executor broadcast budget
+    decontaminate_max_broadcast_drops: int = 2_000_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_hashes:

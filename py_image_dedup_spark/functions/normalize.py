@@ -96,3 +96,47 @@ def normalize_text(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def _strip_punct(col: Column) -> Column:
+    """Aggressive variant: drop every char outside [a-z0-9 ] from the
+    already-canonical norm_text, then re-collapse the spaces the removal
+    leaves behind. Catches near-dups that differ only in punctuation /
+    symbol noise (tracker glyphs, smart quotes, list bullets) that the
+    canonical form keeps."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, r"[^a-z0-9 ]+", ""), r" +", " "
+        )
+    )
+
+
+def _letters_only(col: Column) -> Column:
+    """Most aggressive variant: letter runs only, digits dropped too —
+    catches near-dups differing in timestamps / view counters embedded in
+    the body text."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, r"[^a-z ]+", ""), r" +", " "
+        )
+    )
+
+
+# Registry of extra canonical normalizations for cfg.norm_variants — the
+# ALL_ORIENTATIONS analog (reference config.py:175-186). Each maps the
+# canonical norm_text Column to a more aggressive canonical form; all are
+# pure built-in expressions (whole-stage codegen, no Python).
+VARIANT_NORMALIZERS: dict = {
+    "strip_punct": _strip_punct,
+    "letters_only": _letters_only,
+}
+
+
+def variant_normalizer(name: str):
+    try:
+        return VARIANT_NORMALIZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown norm variant {name!r}; one of "
+            f"{sorted(VARIANT_NORMALIZERS)}"
+        ) from None

@@ -5,17 +5,25 @@ reference's analyze phase decodes arbitrary images via PIL,
 py_image_dedup/util/image.py:29-36; this container has no PIL, so the
 decode runs on stdlib + NumPy). Supported:
 
-  decode_jpeg  — baseline (SOF0) sequential Huffman JPEG: 8-bit samples,
-                 1-4 components, any H/V subsampling (4:4:4, 4:2:0,
-                 4:2:2, ...), restart intervals (DRI/RSTn). Returns the
-                 LUMA plane as float64 (h, w) — exactly what the phash /
-                 resize kernels consume. Progressive (SOF2), arithmetic
-                 coding, and 12-bit precision raise NotImplementedError.
+  decode_jpeg  — baseline (SOF0/SOF1) sequential Huffman JPEG: 8-bit
+                 samples, 1-4 components, any H/V subsampling (4:4:4,
+                 4:2:0, 4:2:2, ...), restart intervals (DRI/RSTn); AND
+                 progressive (SOF2, T.81 Annex G): spectral selection +
+                 successive approximation, DC/AC first and refinement
+                 scans, EOB runs. Returns the LUMA plane as float64
+                 (h, w) — exactly what the phash / resize kernels consume.
+                 Arithmetic coding, hierarchical modes and 12-bit
+                 precision raise NotImplementedError.
   encode_jpeg  — baseline grayscale encoder (single component, Annex K
                  standard quantization + Huffman tables, quality 1-100),
                  used by resize_images' JPEG path and as the decoder's
                  self-contained roundtrip oracle: no external library is
                  needed to produce a real JPEG to decode.
+  encode_jpeg_progressive — grayscale SOF2 encoder over a configurable
+                 (Ss, Se, Ah, Al) scan script; same quantized
+                 coefficients as encode_jpeg, so progressive decode must
+                 match baseline decode bit-for-bit (the progressive
+                 path's oracle).
 
 All constants below (zigzag order, quantization table, Huffman BITS /
 HUFFVAL lists) are the public interchange defaults from T.81 Annex K.
@@ -194,11 +202,18 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JPEG -> (width, height, luma float64 (h, w) in 0..255).
+    """Baseline (SOF0/SOF1) or progressive (SOF2) Huffman JPEG ->
+    (width, height, luma float64 (h, w) in 0..255).
 
     Only the first (luma) component is inverse-transformed; chroma blocks
     are still entropy-decoded (the bitstream interleaves them) but their
     IDCT is skipped — the multimodal kernels consume a single gray plane.
+
+    Progressive streams accumulate per-component coefficient arrays across
+    scans (DC first/refine, AC first/refine with EOB runs, spectral
+    selection + successive approximation per T.81 Annex G) and reconstruct
+    once at EOI. Arithmetic coding, hierarchical (SOF3+) and 12-bit
+    precision still raise NotImplementedError.
     """
     if not is_jpeg(data):
         raise ValueError("not a JPEG payload")
@@ -207,13 +222,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) ; comps: list of (cid, h, v, tq)
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per comp (by, bx, 64) zigzag
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: length-less
+            pos += 2
+            continue
         seg_len = struct.unpack_from(">H", data, pos + 2)[0]
         seg = data[pos + 4: pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -238,7 +263,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 vals = tuple(seg[i + 17: i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _build_huff(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -247,10 +272,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0})"
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -265,12 +291,223 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                     i for i, c in enumerate(frame[2]) if c[0] == cs
                 )
                 scan.append((ci, tt >> 4, tt & 15))
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan,
-                qtables, huff_dc, huff_ac, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan,
+                    qtables, huff_dc, huff_ac, restart_interval,
+                )
+            if coefs is None:
+                coefs = _alloc_prog_coefs(frame)
+            band = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15)
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seg_len, frame, scan, band,
+                huff_dc, huff_ac, restart_interval, coefs,
             )
+            continue  # pos is already at the next marker
         pos += 2 + seg_len
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qtables)
     raise ValueError("JPEG has no scan data")
+
+
+# --------------------------------------------------- progressive (Annex G)
+
+def _alloc_prog_coefs(frame) -> list[np.ndarray]:
+    """Per-component coefficient accumulators, zigzag index order, sized to
+    the interleaved MCU grid (a superset of the non-interleaved grid)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+        for _, ch, cv, _ in comps
+    ]
+
+
+def _ni_block_dims(frame, ci) -> tuple[int, int]:
+    """Non-interleaved block grid of component ci (T.81 A.2.2: ceil of the
+    scaled component dimensions, NOT the padded MCU grid)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ch, cv = comps[ci][1], comps[ci][2]
+    cw = (w * ch + hmax - 1) // hmax
+    chh = (h * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _ac_first_block(br, actab, block, ss, se, al, eob) -> None:
+    """One block of an AC first scan (Ah=0): runs + EOBn runs, values
+    scaled up by 2^Al (T.81 G.1.2.2)."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff_symbol(br, actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += br.read_bits(r)
+                return
+            k += 16
+            continue
+        k += r
+        block[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(br, block, k, p1) -> None:
+    """Correction bit for a history-nonzero coefficient: if the bit is set
+    and bit Al is not already set, grow the magnitude by p1."""
+    c = int(block[k])
+    if br.read_bit() and (abs(c) & p1) == 0:
+        block[k] = c + p1 if c > 0 else c - p1
+
+
+def _ac_refine_block(br, actab, block, ss, se, al, eob) -> None:
+    """One block of an AC refinement scan (Ah=Al+1 -> Al): newly-visible
+    coefficients arrive as ±2^Al with zero-history run lengths; every
+    history-nonzero coefficient passed on the way carries one correction
+    bit (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = _decode_huff_symbol(br, actab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += br.read_bits(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                if block[k] != 0:
+                    _refine_nonzero(br, block, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if block[k] != 0:
+                _refine_nonzero(br, block, k, p1)
+            k += 1
+        eob[0] -= 1
+
+
+def _decode_progressive_scan(data, pos, frame, scan, band,
+                             huff_dc, huff_ac, dri, coefs) -> int:
+    """Decode one progressive scan into the coefficient accumulators and
+    return the stream position of the next marker. DC scans may be
+    interleaved (ns > 1, MCU order); AC scans are single-component by spec
+    (T.81 G.1.1.1) and walk the component's non-interleaved block grid."""
+    w, h, comps = frame
+    ss, se, ah, al = band
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    br = _BitReader(data, pos)
+    eob = [0]
+    preds = {ci: 0 for ci, _, _ in scan}
+
+    def maybe_restart(unit: int) -> None:
+        if dri and unit and unit % dri == 0:
+            mk = br.at_marker()
+            if mk is not None and 0xD0 <= mk <= 0xD7:
+                br.restart()
+                for c_ in preds:
+                    preds[c_] = 0
+                eob[0] = 0
+
+    def dc_block(ci: int, tdc: int, by: int, bx: int) -> None:
+        cf = coefs[ci]
+        if ah == 0:
+            t = _decode_huff_symbol(br, huff_dc[tdc])
+            preds[ci] += _extend(br.read_bits(t), t)
+            cf[by, bx, 0] = preds[ci] << al
+        elif br.read_bit():
+            # two's-complement |= adds 2^Al for negatives too (G.1.2.1)
+            cf[by, bx, 0] |= 1 << al
+
+    if ss == 0:  # DC scan
+        if len(scan) > 1:  # interleaved, MCU order
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for m in range(mcux * mcuy):
+                maybe_restart(m)
+                my, mx = divmod(m, mcux)
+                for ci, tdc, _ in scan:
+                    ch, cv = comps[ci][1], comps[ci][2]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc_block(ci, tdc, my * cv + by, mx * ch + bx)
+        else:
+            ci, tdc, _ = scan[0]
+            bh, bw = _ni_block_dims(frame, ci)
+            for m in range(bh * bw):
+                maybe_restart(m)
+                by, bx = divmod(m, bw)
+                dc_block(ci, tdc, by, bx)
+    else:  # AC scan: single component
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        ci, _, tac = scan[0]
+        actab = huff_ac[tac]
+        cf = coefs[ci]
+        bh, bw = _ni_block_dims(frame, ci)
+        step = _ac_first_block if ah == 0 else _ac_refine_block
+        for m in range(bh * bw):
+            maybe_restart(m)
+            by, bx = divmod(m, bw)
+            step(br, actab, cf[by, bx], ss, se, al, eob)
+
+    # resume the marker walk at the next real marker (skip stuffed FF00)
+    p = br.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs, qtables):
+    """Dequantize + IDCT the accumulated luma coefficients (vectorized over
+    all blocks), upsample to full resolution, crop."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ch, cv, tq = comps[0][1], comps[0][2], comps[0][3]
+    cf = coefs[0]
+    by, bx = cf.shape[0], cf.shape[1]
+    zz = cf.reshape(-1, 64).astype(np.float64)
+    nat = np.zeros_like(zz)
+    nat[:, ZIGZAG] = zz
+    nat *= qtables[tq][None, :]
+    blocks = nat.reshape(-1, 8, 8)
+    # same associativity as the baseline per-block path
+    # (_DCT_C.T @ block @ _DCT_C) so both processes decode bit-identically
+    pix = np.matmul(np.matmul(_DCT_C.T, blocks), _DCT_C) + 128.0
+    luma = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+        by * 8, bx * 8
+    )
+    ry, rx = vmax // cv, hmax // ch
+    if ry > 1 or rx > 1:
+        luma = np.repeat(np.repeat(luma, ry, axis=0), rx, axis=1)
+    return w, h, np.clip(luma[:h, :w], 0.0, 255.0)
 
 
 def _decode_scan(data, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
@@ -459,3 +696,233 @@ def encode_jpeg(gray: np.ndarray, quality: int = 85) -> bytes:
     return (
         b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
     )
+
+
+# ------------------------------------------------- progressive encoding
+
+# Custom Huffman tables for progressive scans: Annex K tables lack the
+# EOBn symbols (0x10..0xE0) progressive AC coding emits, so the encoder
+# ships flat canonical tables covering every symbol it may produce. DC:
+# 12 symbols at length 4 (code 15 unused => the all-ones code stays
+# reserved, T.81 C.2). AC: 254 symbols at length 9 + 2 at length 10
+# (Kraft sum < 0.5; the 10-bit all-ones code unused). Wasteful per bit,
+# irrelevant for an oracle stream, and decodable by any conformant reader.
+PROG_DC_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+PROG_DC_VALS = tuple(range(12))
+PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0)
+PROG_AC_VALS = tuple(range(256))
+
+# Default scan script: spectral selection AND successive approximation,
+# so every decoder path (DC first/refine, AC first with EOB runs, AC
+# refinement with correction bits) is exercised by the roundtrip oracle.
+PROG_DEFAULT_SCANS = (
+    (0, 0, 0, 1),    # DC first, Al=1
+    (1, 5, 0, 2),    # AC 1..5 first, Al=2
+    (6, 63, 0, 2),   # AC 6..63 first, Al=2
+    (0, 0, 1, 0),    # DC refine -> full precision
+    (1, 63, 2, 1),   # AC refine Al 2 -> 1
+    (1, 63, 1, 0),   # AC refine Al 1 -> 0
+)
+
+
+def _enc_dc_first(bw, dc_map, blocks, al: int) -> None:
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> al  # arithmetic shift per G.1.2.1
+        s, code = _magnitude(v - pred)
+        pred = v
+        hc, hl = dc_map[s]
+        bw.write(hc, hl)
+        if s:
+            bw.write(code, s)
+
+
+def _enc_dc_refine(bw, blocks, al: int) -> None:
+    for zz in blocks:
+        bw.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _band_values(zz, ss: int, se: int, al: int) -> list[int]:
+    """Point-transformed band values: magnitude >> Al, sign preserved
+    (G.1.2.2 truncates toward zero, NOT an arithmetic shift)."""
+    out = []
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        m = abs(c) >> al
+        out.append(m if c >= 0 else -m)
+    return out
+
+
+def _enc_ac_first(bw, ac_map, blocks, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            hc, hl = ac_map[r << 4]
+            bw.write(hc, hl)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        vs = _band_values(zz, ss, se, al)
+        last_nz = -1
+        for i, v in enumerate(vs):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last_nz + 1):
+            v = vs[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac_map[0xF0]
+                bw.write(hc, hl)
+                run -= 16
+            s, code = _magnitude(v)
+            hc, hl = ac_map[(run << 4) | s]
+            bw.write(hc, hl)
+            bw.write(code, s)
+            run = 0
+        if last_nz < len(vs) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(bw, ac_map, blocks, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement: newly-visible coefficients
+    (magnitude 1 at this precision) emit run/sign symbols; every
+    history-nonzero coefficient contributes one correction bit, buffered
+    and emitted after the next symbol (or after the EOBn that covers its
+    block) so the decoder meets each bit exactly where its position walk
+    expects it."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits deferred behind an EOBn
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            hc, hl = ac_map[r << 4]
+            bw.write(hc, hl)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            bw.write(b, 1)
+        pending.clear()
+
+    for zz in blocks:
+        vs = _band_values(zz, ss, se, al)
+        last_new = -1
+        for i, v in enumerate(vs):
+            if abs(v) == 1:
+                last_new = i
+        run = 0
+        bits_here: list[int] = []
+        for i in range(last_new + 1):
+            a = abs(vs[i])
+            if a == 0:
+                run += 1
+                continue
+            # ZRL check runs at EVERY nonzero (history coefs included):
+            # the decoder's position walk consumes the buffered correction
+            # bits in this exact interleaving
+            while run > 15:
+                flush_eob()
+                hc, hl = ac_map[0xF0]
+                bw.write(hc, hl)
+                run -= 16
+                for b in bits_here:
+                    bw.write(b, 1)
+                bits_here.clear()
+            if a > 1:
+                bits_here.append(a & 1)
+                continue
+            flush_eob()
+            hc, hl = ac_map[(run << 4) | 1]
+            bw.write(hc, hl)
+            bw.write(1 if vs[i] > 0 else 0, 1)
+            for b in bits_here:
+                bw.write(b, 1)
+            bits_here.clear()
+            run = 0
+        tail_bits = [abs(v) & 1 for v in vs[last_new + 1:] if abs(v) > 1]
+        if last_new < len(vs) - 1:
+            eobrun += 1
+            pending.extend(tail_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    gray: np.ndarray, quality: int = 85, scans=PROG_DEFAULT_SCANS
+) -> bytes:
+    """(h, w) gray array -> progressive (SOF2) grayscale JPEG.
+
+    Same quantized coefficients as encode_jpeg at the same quality, coded
+    across the `scans` script of (Ss, Se, Ah, Al) bands — so
+    decode_jpeg(encode_jpeg_progressive(a)) must equal
+    decode_jpeg(encode_jpeg(a)) exactly, which is the decoder's
+    progressive-path oracle (no external library needed)."""
+    a = np.clip(np.asarray(gray, dtype=np.float64), 0, 255)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -h % 8, -w % 8
+    a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    qt = _quality_qtable(quality)
+    qt2 = qt.reshape(8, 8)
+    blocks = []
+    for y0 in range(0, a.shape[0], 8):
+        for x0 in range(0, a.shape[1], 8):
+            block = a[y0: y0 + 8, x0: x0 + 8] - 128.0
+            coef = _DCT_C @ block @ _DCT_C.T
+            q = np.round(coef / qt2).astype(np.int64).reshape(64)
+            blocks.append(q[ZIGZAG])
+
+    dc_map = _huff_encode_map(PROG_DC_BITS, PROG_DC_VALS)
+    ac_map = _huff_encode_map(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + qt[ZIGZAG].astype(np.uint8).tobytes())
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(PROG_DC_BITS) + bytes(PROG_DC_VALS)
+        + bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+    )
+    for ss, se, ah, al in scans:
+        bw = _BitWriter()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0 (T.81 G.1.1.1.1)")
+            if ah == 0:
+                _enc_dc_first(bw, dc_map, blocks, al)
+            else:
+                _enc_dc_refine(bw, blocks, al)
+        elif ah == 0:
+            _enc_ac_first(bw, ac_map, blocks, ss, se, al)
+        else:
+            _enc_ac_refine(bw, ac_map, blocks, ss, se, al)
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

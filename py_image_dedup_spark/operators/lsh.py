@@ -43,14 +43,29 @@ def compute_signatures(pages_norm: DataFrame, cfg: DedupConfig,
 
 
 def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, sig) -> (url, band_id, band_hash). band_hash = xxhash64 over the
-    band's signature slice + band_id; computed JVM-side via transform +
-    posexplode — no Python."""
+    """(url, sig[, sig_v0..]) -> (url, band_id, band_hash). band_hash =
+    xxhash64 over the band's signature slice + band index; computed
+    JVM-side via transform + posexplode — no Python.
+
+    With cfg.norm_variants, each variant signature column contributes its
+    own lsh_bands band rows; posexplode over the concatenated band arrays
+    assigns globally distinct band_ids (variant v occupies
+    [v*lsh_bands, (v+1)*lsh_bands)), so variant streams bucket separately
+    inside the SAME self-join — no extra shuffle, just ~(1+v)x band rows."""
     r = cfg.lsh_rows
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
-        lambda i: F.xxhash64(F.slice(F.col("sig"), i * r + 1, r), i),
-    )
+
+    def band_arr(sig_col: str):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+            lambda i: F.xxhash64(F.slice(F.col(sig_col), i * r + 1, r), i),
+        )
+
+    sig_cols = ["sig"] + [
+        f"sig_v{i}" for i in range(len(cfg.norm_variants))
+        if f"sig_v{i}" in signatures.columns
+    ]
+    arrs = [band_arr(c) for c in sig_cols]
+    bands = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
     return signatures.select(
         "url", F.posexplode(bands).alias("band_id", "band_hash")
     )
@@ -89,7 +104,8 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
 
 def verify_pairs(pairs: DataFrame, signatures: DataFrame,
                  cfg: DedupConfig, broadcast_pairs: bool = False,
-                 key: str = "url") -> DataFrame:
+                 key: str = "url",
+                 sig_cols: tuple = ("sig",)) -> DataFrame:
     """Exact re-check at the signature level: dist = 1 - estimated Jaccard
     (fraction of agreeing positions); keep dist <= max_dist. Mirrors the
     reference's distance_cutoff filter (elasticsearchstorebackend.py:55,86).
@@ -112,21 +128,24 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
                              when the pair list itself is huge.
     """
     ka, kb = f"{key}_a", f"{key}_b"
+    cols = list(sig_cols)
     if key == "url":
-        sigs = signatures.select("url", "sig")
-        sa = sigs.select(F.col("url").alias(ka), F.col("sig").alias("sig_a"))
-        sb = sigs.select(F.col("url").alias(kb), F.col("sig").alias("sig_b"))
+        sigs = signatures.select("url", *cols)
+        sa = sigs.select(F.col("url").alias(ka),
+                         *[F.col(c).alias(f"{c}_a") for c in cols])
+        sb = sigs.select(F.col("url").alias(kb),
+                         *[F.col(c).alias(f"{c}_b") for c in cols])
     else:
         sigs = signatures.withColumn(key, F.xxhash64("url")).select(
-            key, "url", "sig"
+            key, "url", *cols
         )
         sa = sigs.select(
             F.col(key).alias(ka), F.col("url").alias("url_a"),
-            F.col("sig").alias("sig_a"),
+            *[F.col(c).alias(f"{c}_a") for c in cols],
         )
         sb = sigs.select(
             F.col(key).alias(kb), F.col("url").alias("url_b"),
-            F.col("sig").alias("sig_b"),
+            *[F.col(c).alias(f"{c}_b") for c in cols],
         )
     if broadcast_pairs:
         ja = sa.join(F.broadcast(pairs.select(ka, kb, "score")), ka)
@@ -134,9 +153,15 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         joined = ja.join(jb, [ka, kb])
     else:
         joined = pairs.join(sa, ka).join(sb, kb)
-    est_j = est_jaccard_col(F.col("sig_a"), F.col("sig_b"))
+    # dist = MIN across normalization variants (the reference's best-
+    # orientation semantic: a duplicate under ANY canonical form matches)
+    dists = [
+        F.lit(1.0) - est_jaccard_col(F.col(f"{c}_a"), F.col(f"{c}_b"))
+        for c in cols
+    ]
+    dist = F.least(*dists) if len(dists) > 1 else dists[0]
     return (
-        joined.withColumn("dist", (F.lit(1.0) - est_j))
+        joined.withColumn("dist", dist)
         .where(F.col("dist") <= F.lit(float(cfg.max_dist)))
         .select(
             F.least("url_a", "url_b").alias("url_a"),
@@ -187,7 +212,10 @@ def lsh_candidate_pipeline(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame
     """signatures -> verified candidate pairs in one plan. Pair generation
     goes through the shared skew-aware join (operators/modes.py) so the
     salting tiers apply here too."""
-    from py_image_dedup_spark.operators.modes import minhash_pairs
+    from py_image_dedup_spark.operators.modes import (
+        minhash_pairs,
+        minhash_signatures,
+    )
 
-    sigs = compute_signatures(pages_norm, cfg)
+    sigs = minhash_signatures(pages_norm, cfg)  # + cfg.norm_variants sigs
     return minhash_pairs(sigs, cfg)

@@ -183,21 +183,44 @@ def _capped_self_join(bands: DataFrame, cfg: DedupConfig,
 # ---------------------------------------------------------------- minhash
 
 def minhash_signatures(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
-    return _minhash.compute_signatures(pages_norm, cfg)
+    out = _minhash.compute_signatures(pages_norm, cfg)
+    if cfg.norm_variants:
+        # ALL_ORIENTATIONS analog (reference config.py:175-186): one extra
+        # signature per canonical normalization variant, computed map-side
+        # from the same norm_text — each rides the band join as its own
+        # band_id range (operators/lsh.py:explode_bands)
+        from py_image_dedup_spark.functions.minhash import make_minhash_udf
+        from py_image_dedup_spark.functions.normalize import (
+            variant_normalizer,
+        )
+
+        udf = make_minhash_udf(cfg)
+        for i, name in enumerate(cfg.norm_variants):
+            out = out.withColumn(
+                f"sig_v{i}", udf(variant_normalizer(name)(F.col("norm_text")))
+            )
+    return out
 
 
 def minhash_pairs(signatures: DataFrame, cfg: DedupConfig,
                   stats: dict | None = None) -> DataFrame:
     bands = _minhash.explode_bands(signatures, cfg)
     pairs = _capped_self_join(bands, cfg, stats)
+    # variant sig columns actually present (a store written without
+    # variants verifies on "sig" alone even if cfg now asks for variants)
+    sig_cols = ("sig",) + tuple(
+        f"sig_v{i}" for i in range(len(cfg.norm_variants))
+        if f"sig_v{i}" in signatures.columns
+    )
     # Full-band-agreement short-circuit: a pair can share at most one
-    # bucket per band, so score == lsh_bands means EVERY band matched =>
-    # every signature slice equal => est Jaccard exactly 1 => dist exactly
-    # 0 — verification always passes. Those pairs (the densest: verbatim
-    # re-crawl mass that survived url-level dedup) bypass both sig-carrying
-    # probes and resolve uid->url through a slim map join instead. Output
-    # is provably identical to verifying them (dist 0.0 either way).
-    b = F.lit(float(cfg.lsh_bands))
+    # bucket per band, so score == n_total_bands means EVERY band of EVERY
+    # variant matched => every signature slice equal => est Jaccard exactly
+    # 1 => dist exactly 0 — verification always passes. Those pairs (the
+    # densest: verbatim re-crawl mass that survived url-level dedup) bypass
+    # both sig-carrying probes and resolve uid->url through a slim map join
+    # instead. Output is provably identical to verifying them (dist 0.0
+    # either way).
+    b = F.lit(float(cfg.lsh_bands * len(sig_cols)))
     # pairs just materialized (checkpoint) — ONE cheap agg job sizes both
     # subsets, and each picks the shape that never shuffles the signature
     # table when its pair list is broadcastable
@@ -212,7 +235,7 @@ def minhash_pairs(signatures: DataFrame, cfg: DedupConfig,
     verified = _minhash.verify_pairs(
         pairs.where(F.col("score") < b), signatures, cfg,
         broadcast_pairs=n_rest <= cfg.broadcast_pairs_limit,
-        key="uid",
+        key="uid", sig_cols=sig_cols,
     )
     if n_full == 0:
         return verified

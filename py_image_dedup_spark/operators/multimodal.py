@@ -12,16 +12,20 @@ are two REAL pure-NumPy codecs (no external libraries needed):
            + all five scanline filters in NumPy) + encode (filter 0)
   * WAV  — RIFF/WAVE PCM 8/16-bit, decode + encode
            (audio_features runs end-to-end on real bytes)
-  * JPEG — baseline sequential DCT (T.81): Huffman decode of any
-           sampling layout + grayscale encode with Annex K tables
+  * JPEG — baseline sequential DCT (T.81) of any sampling layout AND
+           progressive (SOF2, Annex G: spectral selection + successive
+           approximation), plus grayscale baseline/progressive encoders
            (operators/jpeg.py)
+  * MP3  — frame-header metadata WITHOUT decode (parse_mp3_meta: exact
+           CBR/VBR duration by counting frames, rate/channels/bitrate) —
+           the audio_meta ingest scan
 
-Payloads in other formats (progressive JPEG / MP3 / video containers)
-need PIL / soundfile / ffmpeg, which are not in this container: the kernels raise
-NotImplementedError for them unless `fake=True`, which produces a
-deterministic pseudo-decode suitable for pipeline testing. A real
-deployment swaps the per-payload decode call inside the same batch
-kernel; the Spark plan is identical.
+Sample DECODE of compressed audio (MP3/OGG) and video containers needs
+soundfile/ffmpeg, which are not in this container: those kernels raise
+NotImplementedError unless `fake=True`, which produces a deterministic
+pseudo-decode suitable for pipeline testing. A real deployment swaps the
+per-payload decode call inside the same batch kernel; the Spark plan is
+identical.
 
 Pattern mirrors extract_text_udf (functions/normalize.py): payload ->
 features is always Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] over
@@ -55,6 +59,11 @@ AUDIO_FEATURES_SCHEMA = (
     "loudness_fp long"
 )
 
+AUDIO_META_SCHEMA = (
+    "url string, n_bytes long, container string, duration_s double, "
+    "sample_rate int, channels int, bitrate_kbps int"
+)
+
 RESIZED_SCHEMA = "url string, width int, height int, payload binary"
 
 
@@ -66,6 +75,126 @@ def is_bmp(data: bytes) -> bool:
 
 def is_wav(data: bytes) -> bool:
     return len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def is_mp3(data: bytes) -> bool:
+    """ID3v2-tagged file, or raw MPEG audio starting on a frame sync."""
+    if len(data) < 4:
+        return False
+    if data[:3] == b"ID3":
+        return True
+    return data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3; the public
+# constants every MP3 tool ships). Indexed [version][layer]; bitrates kbps.
+_MP3_BITRATES = {
+    # MPEG1: layer 1, 2, 3
+    1: {
+        1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    },
+    # MPEG2 / 2.5 share one table for layer 2+3 and one for layer 1
+    2: {
+        1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    },
+}
+_MP3_RATES = {  # by version bits (00=2.5, 10=2, 11=1)
+    0: (11025, 12000, 8000),
+    2: (22050, 24000, 16000),
+    3: (44100, 48000, 32000),
+}
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at pos -> (frame_len, samples,
+    rate, bitrate_kbps, channels) or None if not a valid frame start."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3 = data[pos], data[pos + 1], data[pos + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    vbits = (b2 >> 3) & 3
+    layer = 4 - ((b2 >> 1) & 3)  # bits 01->layer III(3), 11->layer I(1)
+    if vbits == 1 or layer == 4:  # reserved version / reserved layer
+        return None
+    br_idx = (b3 >> 4) & 15
+    sr_idx = (b3 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:  # free/bad bitrate, bad rate
+        return None
+    ver = 1 if vbits == 3 else 2
+    bitrate = _MP3_BITRATES[ver][layer][br_idx]
+    rate = _MP3_RATES[vbits][sr_idx]
+    pad = (b3 >> 1) & 1
+    channels = 1 if ((data[pos + 3] >> 6) & 3) == 3 else 2
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * bitrate * 1000 // rate + pad) * 4
+    else:
+        samples = 1152 if (layer == 2 or ver == 1) else 576
+        frame_len = samples // 8 * bitrate * 1000 // rate + pad
+    if frame_len <= 4:
+        return None
+    return frame_len, samples, rate, bitrate, channels
+
+
+def parse_mp3_meta(data: bytes) -> dict:
+    """MPEG audio metadata WITHOUT decoding (the duration/rate scan a
+    curation pipeline runs at ingest): skip any ID3v2 tag, find the first
+    frame sync that chains to a second valid frame, then hop frame headers
+    to the end. Duration is exact for CBR and VBR alike (frames counted,
+    no Xing header needed; a Xing-less VBR estimate from the first frame's
+    bitrate would be wrong by up to 2x). O(n_frames) header reads, zero
+    sample decode.
+
+    Returns {sample_rate, channels, bitrate_kbps (mean over frames),
+    duration_s, n_frames}; raises ValueError when no frame chain exists.
+    """
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    # resync: the first candidate must chain into a second valid frame,
+    # or 0xFF bytes inside tag padding would parse as garbage audio
+    start = None
+    scan_limit = min(len(data), pos + 65536)
+    while pos < scan_limit:
+        fr = _mp3_frame(data, pos)
+        if fr is not None:
+            nxt = pos + fr[0]
+            if nxt >= len(data) or _mp3_frame(data, nxt) is not None:
+                start = pos
+                break
+        pos += 1
+    if start is None:
+        raise ValueError("no MPEG audio frame chain found")
+    n_frames = 0
+    total_samples = 0
+    total_kbps = 0
+    rate = channels = 0
+    pos = start
+    while pos + 4 <= len(data):
+        fr = _mp3_frame(data, pos)
+        if fr is None:
+            break  # trailing tag (ID3v1/APE) or truncation
+        frame_len, samples, rate, kbps, channels = fr
+        n_frames += 1
+        total_samples += samples
+        total_kbps += kbps
+        pos += frame_len
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bitrate_kbps": round(total_kbps / n_frames),
+        "duration_s": round(total_samples / rate, 6),
+        "n_frames": n_frames,
+    }
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -416,6 +545,69 @@ def audio_features(
 
     return df.select(url_col, payload_col).mapInPandas(
         kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def audio_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, payload binary) -> AUDIO_META_SCHEMA via mapInPandas: the
+    metadata-only ingest scan — container, duration, rate, channels,
+    bitrate — WITHOUT decoding samples. WAV reads the fmt/data headers;
+    MP3 hops MPEG frame headers (parse_mp3_meta: exact duration for CBR
+    and VBR, no Xing header needed). Unknown containers classify as
+    'unknown' with null metadata instead of raising: a 100 TB metadata
+    sweep must tolerate stray payloads, and the container column is how a
+    pipeline routes/filters them."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "n_bytes", "container", "duration_s", "sample_rate",
+            "channels", "bitrate_kbps",
+        ]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                row = {
+                    "url": url, "n_bytes": len(data), "container": "unknown",
+                    "duration_s": None, "sample_rate": None,
+                    "channels": None, "bitrate_kbps": None,
+                }
+                try:
+                    if is_wav(data):
+                        rate, n_ch, mono = decode_wav(data)
+                        row.update(
+                            container="wav",
+                            duration_s=round(len(mono) / rate, 6),
+                            sample_rate=rate, channels=n_ch,
+                            bitrate_kbps=round(
+                                len(data) * 8 / 1000
+                                / max(len(mono) / rate, 1e-9)
+                            ),
+                        )
+                    elif is_mp3(data):
+                        m = parse_mp3_meta(data)
+                        row.update(
+                            container="mp3",
+                            duration_s=m["duration_s"],
+                            sample_rate=m["sample_rate"],
+                            channels=m["channels"],
+                            bitrate_kbps=m["bitrate_kbps"],
+                        )
+                except (ValueError, NotImplementedError, struct.error):
+                    pass  # classified by magic but malformed: keep 'unknown'
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
+            out["duration_s"] = out["duration_s"].astype("Float64")
+            for c in ("sample_rate", "channels", "bitrate_kbps"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(url_col, payload_col).mapInPandas(
+        kernel, schema=AUDIO_META_SCHEMA
     )
 
 

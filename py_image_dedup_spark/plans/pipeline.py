@@ -225,10 +225,19 @@ def run_dedup_pipeline(
         drops = contaminated_ids(
             hashed, bench, n=cfg.decontaminate_ngram,
             id_col="url", text_col="norm_text",
+            broadcast_bench=cfg.decontaminate_broadcast,
         ).cache()
         caches.append(drops)
         n_drop = drops.count()
-        hashed = hashed.join(F.broadcast(drops), "url", "left_anti")
+        # n_drop is already materialized for the metrics row, so the
+        # broadcast decision is free: a heavily contaminated corpus (or a
+        # low n) can yield a drop list far beyond broadcast budget — above
+        # the gate, fall back to a plain shuffle anti-join instead of OOMing
+        # the driver on a forced broadcast (ADVICE r4)
+        if n_drop <= cfg.decontaminate_max_broadcast_drops:
+            hashed = hashed.join(F.broadcast(drops), "url", "left_anti")
+        else:
+            hashed = hashed.join(drops, "url", "left_anti")
         metrics.append(
             {"stage": "pages_meta", "metric": "decontaminated_rows",
              "value": float(n_drop)}
@@ -247,12 +256,19 @@ def run_dedup_pipeline(
     hashed_full = hashed.select(
         "url", "warc_ts", "content_hash", "n_bytes", "n_chars", "norm_text",
         *meta_cols,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # cache_pages=False is the corpus >> cluster-RAM shape (the only one
+    # that holds at 100 TB): both consumer stages recompute the narrow
+    # normalize+hash map from the parquet scan instead of reading a cache
+    # that would thrash anyway once the working set exceeds storage memory.
+    if cfg.cache_pages:
+        hashed_full = hashed_full.persist(StorageLevel.MEMORY_AND_DISK)
 
     results: dict[str, DataFrame] = {}
 
     def _finish() -> dict[str, DataFrame]:
-        hashed_full.unpersist()
+        if cfg.cache_pages:
+            hashed_full.unpersist()
         for c in caches:
             c.unpersist()
         results["metrics"] = _write_metrics(spark, metrics, cfg, p("metrics"))

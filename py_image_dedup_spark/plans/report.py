@@ -86,17 +86,19 @@ def format_run_summary(
                      f"{dec:,.0f}")
 
     if cluster_sample:
+        # only render Dist when the rows actually carry one — a constant
+        # 0.000 column over action-table rows reads as a real measurement
+        has_dist = any("dist" in r and r["dist"] is not None
+                       for r in cluster_sample)
         rows = [
             [
                 str(r.get("action", "")),
                 str(r.get("url", "")),
-                f"{r.get('dist', 0.0):.3f}",
+                *([f"{r.get('dist') or 0.0:.3f}"] if has_dist else []),
                 str(r.get("cluster_id", "")),
             ]
             for r in cluster_sample
         ]
-        lines += [
-            "",
-            _fmt_table(["Action", "Url", "Dist", "Cluster"], rows),
-        ]
+        headers = ["Action", "Url"] + (["Dist"] if has_dist else []) + ["Cluster"]
+        lines += ["", _fmt_table(headers, rows)]
     return "\n".join(lines)

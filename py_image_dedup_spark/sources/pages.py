@@ -157,10 +157,15 @@ def _group_rows(gid: int, seed: int) -> list[dict]:
 
     # edited: ~1% word substitutions with a short token, so the edited
     # variant is always strictly shorter than the original (keeps the
-    # "longest clean text wins" golden expectation unambiguous)
+    # "longest clean text wins" golden expectation unambiguous). Edit sites
+    # exclude the function-word slots (idx % 6 == 0): several lexicon words
+    # are 2 chars ('of', 'zu', ...), equal-length to 'ed', which would
+    # break the strictly-shorter invariant (ADVICE r4); content-vocab words
+    # are always >= 4 chars (2-4 CV syllables)
     w2 = words.copy()
     n_edits = max(1, n_words // 100)
-    idx = rng.choice(n_words, size=n_edits, replace=False)
+    content_slots = np.arange(n_words)[np.arange(n_words) % 6 != 0]
+    idx = rng.choice(content_slots, size=n_edits, replace=False)
     w2[idx] = "ed"
     edited = _render(w2)
 

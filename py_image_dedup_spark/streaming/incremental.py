@@ -473,6 +473,20 @@ def run_incremental_stream(
         # appends only — nothing a concurrent or later plan reads is deleted
         verified.write.mode("append").parquet(pairs_path)
         new_sigs.write.mode("append").parquet(sig_path)
+        # Pruning-selectivity metric (VERDICT r4 item 6): the T7 path's
+        # 100x-scale assumption is touched buckets << store, i.e. the
+        # band-store scan reads only the band_pfx partitions a new batch
+        # touches. Record scanned-vs-total partitions per micro-batch so
+        # that selectivity is OBSERVABLE (touched == total on a batch means
+        # the store scan degenerated to a full read — resize
+        # n_band_partitions). Cheap by construction: touched_pfx is already
+        # collected for the pruned scan; total is the layout constant.
+        spark.createDataFrame(
+            [(batch_id, len(touched_pfx), n_band_partitions,
+              store_sigs is not None)],
+            "batch_id long, touched_band_partitions int, "
+            "total_band_partitions int, store_scanned boolean",
+        ).write.mode("append").parquet(os.path.join(store_path, "scan_metrics"))
         (
             new_bands.withColumn(
                 "band_pfx", F.pmod("band_hash", F.lit(n_band_partitions))

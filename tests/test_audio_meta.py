@@ -1,0 +1,102 @@
+"""MP3 frame-header metadata parse (no decode) + the audio_meta kernel.
+
+Synthetic MPEG frames are built byte-by-byte from the public header layout
+(ISO/IEC 11172-3): 0xFF 0xFB = sync + MPEG1 + Layer III + no CRC; the
+third byte packs bitrate index / sample-rate index / padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from py_image_dedup_spark.operators.multimodal import (
+    audio_meta,
+    encode_wav_pcm16,
+    is_mp3,
+    parse_mp3_meta,
+)
+
+
+def _frame(bitrate_idx: int = 9, sr_idx: int = 0, pad: int = 0,
+           mono: bool = False) -> bytes:
+    """One MPEG1 Layer III frame. bitrate_idx 9 = 128 kbps, sr_idx 0 =
+    44100 Hz -> frame_len = 144*128000//44100 + pad = 417 + pad."""
+    b3 = (bitrate_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b4 = 0xC0 if mono else 0x00
+    hdr = bytes([0xFF, 0xFB, b3, b4])
+    table = {9: 128, 10: 160, 11: 192}
+    length = 144 * table[bitrate_idx] * 1000 // 44100 + pad
+    return hdr + b"\x00" * (length - 4)
+
+
+def _id3v2(payload_size: int = 200) -> bytes:
+    # syncsafe size: 7 bits per byte
+    sz = bytes([
+        (payload_size >> 21) & 0x7F, (payload_size >> 14) & 0x7F,
+        (payload_size >> 7) & 0x7F, payload_size & 0x7F,
+    ])
+    return b"ID3\x04\x00\x00" + sz + b"\xff" * payload_size
+
+
+def test_mp3_cbr_duration_exact():
+    data = _id3v2() + b"".join(_frame() for _ in range(76))
+    assert is_mp3(data)
+    m = parse_mp3_meta(data)
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    assert m["bitrate_kbps"] == 128
+    assert m["n_frames"] == 76
+    assert abs(m["duration_s"] - 76 * 1152 / 44100) < 1e-6
+
+
+def test_mp3_vbr_counts_frames_not_first_bitrate():
+    """A Xing-less VBR stream: duration must come from counted frames, not
+    an extrapolation of the first frame's bitrate."""
+    frames = [_frame(9), _frame(11), _frame(10), _frame(11)] * 10
+    m = parse_mp3_meta(b"".join(frames))
+    assert m["n_frames"] == 40
+    assert abs(m["duration_s"] - 40 * 1152 / 44100) < 1e-6
+    assert m["bitrate_kbps"] == round((128 + 192 + 160 + 192) / 4)
+
+
+def test_mp3_padding_and_mono():
+    data = b"".join(_frame(pad=1, mono=True) for _ in range(5))
+    m = parse_mp3_meta(data)
+    assert m["n_frames"] == 5
+    assert m["channels"] == 1
+
+
+def test_mp3_resync_requires_frame_chain():
+    # 0xFF garbage that never chains into a second frame must not parse
+    try:
+        parse_mp3_meta(b"\xff\xfb" + b"\x00" * 100)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_mp3_trailing_id3v1_tag_ignored():
+    data = b"".join(_frame() for _ in range(3)) + b"TAG" + b"\x00" * 125
+    m = parse_mp3_meta(data)
+    assert m["n_frames"] == 3
+
+
+def test_audio_meta_kernel_routes_by_container(spark):
+    rate = 8000
+    t = np.linspace(0.0, 1.0, rate, endpoint=False)
+    wav = encode_wav_pcm16(np.sin(2 * np.pi * 440 * t), rate)
+    mp3 = _id3v2() + b"".join(_frame() for _ in range(38))
+    df = spark.createDataFrame(
+        [("w", bytearray(wav)), ("m", bytearray(mp3)),
+         ("x", bytearray(b"\x00garbage"))],
+        "url string, payload binary",
+    )
+    got = {r["url"]: r for r in audio_meta(df).collect()}
+    assert got["w"]["container"] == "wav"
+    assert got["w"]["sample_rate"] == rate
+    assert abs(got["w"]["duration_s"] - 1.0) < 1e-6
+    assert got["m"]["container"] == "mp3"
+    assert got["m"]["sample_rate"] == 44100
+    assert abs(got["m"]["duration_s"] - 38 * 1152 / 44100) < 1e-6
+    assert got["x"]["container"] == "unknown"
+    assert got["x"]["duration_s"] is None

@@ -80,13 +80,64 @@ def test_non_jpeg_rejected():
     assert not is_jpeg(b"BMnope")
 
 
-def test_progressive_rejected():
-    """SOF2 must raise NotImplementedError, not misdecode."""
+def test_lossless_sof3_rejected():
+    """Unsupported coding processes must raise, not misdecode."""
     data = bytearray(encode_jpeg(np.full((8, 8), 100.0), 85))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    data[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+# ----------------------------------------- progressive (SOF2, Annex G)
+
+def test_progressive_equals_baseline_decode():
+    """Same quantized coefficients, two coding processes: the progressive
+    stream (spectral selection + successive approximation, the default
+    scan script) must decode to EXACTLY the baseline stream's pixels."""
+    from py_image_dedup_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(41, 57)
+    for q in (95, 85, 50):
+        base = decode_jpeg(encode_jpeg(img, quality=q))[2]
+        prog_bytes = encode_jpeg_progressive(img, quality=q)
+        w, h, prog = decode_jpeg(prog_bytes)
+        assert (w, h) == (57, 41)
+        assert np.array_equal(prog, base), f"quality {q} mismatch"
+
+
+def test_progressive_spectral_only_script():
+    """Spectral selection without successive approximation (Al=0
+    everywhere) — the other common scan-script family."""
+    from py_image_dedup_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(24, 31, seed=3)
+    scans = ((0, 0, 0, 0), (1, 2, 0, 0), (3, 63, 0, 0))
+    base = decode_jpeg(encode_jpeg(img, quality=85))[2]
+    prog = decode_jpeg(encode_jpeg_progressive(img, 85, scans))[2]
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_eob_runs_on_flat_image():
+    """A flat image quantizes to all-zero AC bands -> maximal EOB runs
+    (EOBn with r > 0), the path a single-block oracle never exercises."""
+    from py_image_dedup_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.full((64, 64), 77.0)
+    base = decode_jpeg(encode_jpeg(img, quality=85))[2]
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))[2]
+    assert np.array_equal(prog, base)
+    assert np.abs(prog - img).mean() < 2.0
+
+
+def test_progressive_single_block_and_odd_dims():
+    from py_image_dedup_spark.operators.jpeg import encode_jpeg_progressive
+
+    for shape in ((8, 8), (5, 3), (9, 17)):
+        img = _test_image(*shape, seed=11)
+        base = decode_jpeg(encode_jpeg(img, quality=90))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))[2]
+        assert np.array_equal(prog, base), shape
 
 
 # -------------------------- test-local 4:2:0 color encoder (forward oracle)

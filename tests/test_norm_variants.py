@@ -1,0 +1,89 @@
+"""Normalization-variant signatures (cfg.norm_variants) — the
+ALL_ORIENTATIONS analog (reference config.py:175-186: hash every rotation/
+flip so a rotated duplicate still matches; here: sign every canonical
+normalization variant so a punctuation-mangled duplicate still matches).
+
+Gate (VERDICT r4 item 5): a planted punct-mangled near-dup that the single
+canonical normalization misses is caught with the flag on; the flag is off
+by default so every existing oracle row is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_image_dedup_spark.config import DedupConfig
+from py_image_dedup_spark.functions.normalize import (
+    VARIANT_NORMALIZERS,
+    normalize_text,
+    variant_normalizer,
+)
+from py_image_dedup_spark.operators.modes import (
+    minhash_pairs,
+    minhash_signatures,
+)
+
+CFG_OFF = DedupConfig(max_dist=0.2)
+CFG_ON = DedupConfig(max_dist=0.2, norm_variants=("strip_punct",))
+
+
+def _docs():
+    # 80 pseudo-words; the mangled copy injects a comma after EVERY word,
+    # so at shingle_k=10 (every shingle spans a word boundary) nearly every
+    # canonical-form shingle differs => single-normalization Jaccard ~ 0
+    words = [f"tok{i}abcde" for i in range(80)]
+    clean = " ".join(words)
+    mangled = ", ".join(words)
+    other = " ".join(f"zzq{i}fghij" for i in range(80))
+    return [("clean", clean), ("mangled", mangled), ("other", other)]
+
+
+def _pairs(spark, cfg):
+    df = spark.createDataFrame(_docs(), "url string, text string").select(
+        "url", normalize_text("text").alias("norm_text")
+    )
+    sigs = minhash_signatures(df, cfg)
+    return {
+        (r["url_a"], r["url_b"]): r["dist"]
+        for r in minhash_pairs(sigs, cfg).collect()
+    }
+
+
+def test_variant_registry():
+    assert "strip_punct" in VARIANT_NORMALIZERS
+    try:
+        variant_normalizer("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_strip_punct_expr(spark):
+    row = spark.range(1).select(
+        variant_normalizer("strip_punct")(
+            F.lit("foo, bar! (baz) -- qux's")
+        ).alias("v"),
+        variant_normalizer("letters_only")(
+            F.lit("abc 123 def,45 ghi")
+        ).alias("w"),
+    ).first()
+    assert row["v"] == "foo bar baz quxs"
+    assert row["w"] == "abc def ghi"
+
+
+def test_punct_mangled_dup_missed_without_flag(spark):
+    got = _pairs(spark, CFG_OFF)
+    assert ("clean", "mangled") not in got
+
+
+def test_punct_mangled_dup_caught_with_flag(spark):
+    got = _pairs(spark, CFG_ON)
+    assert ("clean", "mangled") in got
+    # identical under the aggressive form => min-dist across variants is 0
+    assert got[("clean", "mangled")] == 0.0
+    # unrelated docs still don't pair
+    assert all("other" not in p for p in got)
+
+
+def test_flag_off_is_default():
+    assert DedupConfig().norm_variants == ()

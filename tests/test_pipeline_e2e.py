@@ -357,3 +357,17 @@ def test_decontaminate_pipeline_stage(spark, pages, ckpt, tmp_path):
         .collect()
     )
     assert len(dropped) == 1 and dropped[0]["value"] == 6.0
+
+
+def test_cache_free_mode_identical_actions(spark, pages, ckpt, tmp_path):
+    """cache_pages=False (the corpus >> cluster-RAM shape: consumers
+    recompute the narrow normalize+hash map instead of reading a persisted
+    projection) must produce byte-identical actions."""
+    out_cached = run(spark, pages, ckpt)
+    cfg2 = DedupConfig(max_dist=0.30, cache_pages=False)
+    out_free = run_dedup_pipeline(
+        spark, pages, cfg2, str(tmp_path / "ckpt_free"), resume=False
+    )
+    a = {tuple(r) for r in out_cached["actions"].collect()}
+    b = {tuple(r) for r in out_free["actions"].collect()}
+    assert a == b

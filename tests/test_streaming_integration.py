@@ -163,6 +163,62 @@ def test_streamed_pairs_match_batch_rerun(stream_run):
     assert all(url in p for p in extra), f"unexpected extra pairs: {extra}"
 
 
+def test_scan_metrics_rows_emitted(stream_run):
+    """Pruning-selectivity observability (VERDICT r4 item 6): one
+    scan_metrics row per micro-batch recording scanned-vs-total band
+    partitions. The first batch has no store yet (store_scanned=False)."""
+    spark = stream_run["spark"]
+    sm = spark.read.parquet(
+        os.path.join(stream_run["store_dir"], "scan_metrics")
+    )
+    rows = {r["batch_id"]: r for r in sm.collect()}
+    assert len(rows) >= 2
+    assert all(r["total_band_partitions"] == 16 for r in rows.values())
+    assert all(
+        0 < r["touched_band_partitions"] <= r["total_band_partitions"]
+        for r in rows.values()
+    )
+    first = rows[min(rows)]
+    assert not first["store_scanned"]
+    assert any(r["store_scanned"] for r in rows.values())
+
+
+def test_store_scan_pruning_engages_on_small_batch(spark, tmp_path):
+    """A single-doc update against a wide store must NOT read the whole
+    band store: one doc carries at most lsh_bands distinct buckets, so with
+    n_band_partitions > lsh_bands the pruned scan touches a strict subset
+    of the partitions — the T7 100x-scale assumption, now asserted."""
+    input_dir = str(tmp_path / "in")
+    store_dir = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    os.makedirs(input_dir)
+
+    pages = generate_pages(spark, 10, seed=9)
+    wave1 = pages.where(F.col("group_id") < 9)
+    wave2 = pages.where(
+        (F.col("group_id") == 9) & (F.col("variant") == "singleton")
+    ).limit(1)
+    _write_wave(wave1, os.path.join(input_dir, "wave1.parquet"))
+    _write_wave(wave2, os.path.join(input_dir, "wave2.parquet"))
+
+    cfg = DedupConfig(max_dist=0.30)
+    q = run_incremental_stream(
+        spark, input_dir, store_dir, pairs_dir, cfg,
+        available_now=True, max_files_per_trigger=1, n_band_partitions=64,
+    )
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    sm = spark.read.parquet(os.path.join(store_dir, "scan_metrics"))
+    rows = {r["batch_id"]: r for r in sm.collect()}
+    small = rows[max(rows)]
+    assert small["store_scanned"]
+    assert small["touched_band_partitions"] <= cfg.lsh_bands
+    assert small["touched_band_partitions"] < small["total_band_partitions"], (
+        "small-batch store scan read every band partition — pruning "
+        "did not engage"
+    )
+
+
 def test_compact_band_store_drops_superseded_rows(stream_run):
     """Compaction (the Iceberg rewrite_data_files analog) keeps the current
     view bit-identical while physically dropping every superseded row the
