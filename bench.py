@@ -128,7 +128,12 @@ def main() -> None:
     n_docs = pages.count()
 
     queries: dict[str, float] = {}
-    cfg = DedupConfig(max_dist=0.30, shuffle_partitions=shuffle_parts)
+    # BENCH_CACHE_PAGES=0 benches the corpus >> cluster-RAM shape: skip the
+    # hashed_full persist and recompute the normalize+hash map per consumer
+    cfg = DedupConfig(
+        max_dist=0.30, shuffle_partitions=shuffle_parts,
+        cache_pages=os.environ.get("BENCH_CACHE_PAGES", "1") != "0",
+    )
 
     # steady-state warm-up: a miniature pipeline first, so JIT/codegen
     # compilation constants don't leak into the timed measurement
@@ -151,7 +156,8 @@ def main() -> None:
     skew = {
         r["metric"]: int(r["value"])
         for r in out["metrics"]
-        .where("metric in ('hot_buckets', 'hot_bucket_rows', 'warm_buckets')")
+        .where("metric in ('hot_buckets', 'hot_bucket_rows', 'warm_buckets', "
+               "'max_cluster_rows', 'p99_cluster_rows')")
         .collect()
     }
     n_actions = out["actions"].count()

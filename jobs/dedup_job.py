@@ -5,8 +5,8 @@ Cluster usage (north_rule packaging):
     python scripts/build_pyfiles.py          # -> dist/py_image_dedup_spark.zip
     spark-submit --py-files dist/py_image_dedup_spark.zip \\
         jobs/dedup_job.py \\
-        --input  s3://bucket/pages_iceberg_or_parquet \\
-        --output s3://bucket/dedup_ckpt \\
+        --input  <warehouse>/pages_iceberg_or_parquet \\
+        --output <warehouse>/dedup_ckpt \\
         --mode minhash --max-dist 0.1
 
 Local smoke:

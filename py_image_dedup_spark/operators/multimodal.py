@@ -151,7 +151,13 @@ def parse_mp3_meta(data: bytes) -> dict:
     sample decode.
 
     Returns {sample_rate, channels, bitrate_kbps (mean over frames),
-    duration_s, n_frames}; raises ValueError when no frame chain exists.
+    duration_s, n_frames, xing_frames, xing_bytes, xing_duration_s};
+    raises ValueError when no frame chain exists. The xing_* fields come
+    from a Xing/Info VBR header when the first frame carries one (frame
+    count + byte count a streaming reader can turn into a duration
+    estimate from the FIRST frame alone, without walking the file);
+    they are None otherwise. duration_s is always the exact frame-walk
+    figure — the Xing fields are the cheap estimate, not the truth.
     """
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
@@ -174,6 +180,7 @@ def parse_mp3_meta(data: bytes) -> dict:
         pos += 1
     if start is None:
         raise ValueError("no MPEG audio frame chain found")
+    xing = _parse_xing(data, start)
     n_frames = 0
     total_samples = 0
     total_kbps = 0
@@ -188,13 +195,47 @@ def parse_mp3_meta(data: bytes) -> dict:
         total_samples += samples
         total_kbps += kbps
         pos += frame_len
+    first = _mp3_frame(data, start)
+    xing_duration = (
+        round(xing["frames"] * first[1] / first[2], 6)
+        if xing and xing["frames"] is not None else None
+    )
     return {
         "sample_rate": rate,
         "channels": channels,
         "bitrate_kbps": round(total_kbps / n_frames),
         "duration_s": round(total_samples / rate, 6),
         "n_frames": n_frames,
+        "xing_frames": xing["frames"] if xing else None,
+        "xing_bytes": xing["bytes"] if xing else None,
+        "xing_duration_s": xing_duration,
     }
+
+
+def _parse_xing(data: bytes, start: int):
+    """Xing/Info VBR header inside the frame at start -> {frames, bytes}
+    or None. The tag sits after the side-info block whose size depends on
+    version/mode (and a 2-byte CRC when protection is on); flags are a
+    big-endian bitmask: 1=frames, 2=bytes (TOC/quality follow, unread)."""
+    fr = _mp3_frame(data, start)
+    if fr is None:
+        return None
+    b2 = data[start + 1]
+    vbits = (b2 >> 3) & 3
+    mono = ((data[start + 3] >> 6) & 3) == 3
+    side = (17 if mono else 32) if vbits == 3 else (9 if mono else 17)
+    pos = start + 4 + (0 if (b2 & 1) else 2) + side
+    if data[pos:pos + 4] not in (b"Xing", b"Info"):
+        return None
+    flags = int.from_bytes(data[pos + 4:pos + 8], "big")
+    pos += 8
+    out = {"frames": None, "bytes": None}
+    if flags & 1 and pos + 4 <= len(data):
+        out["frames"] = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+    if flags & 2 and pos + 4 <= len(data):
+        out["bytes"] = int.from_bytes(data[pos:pos + 4], "big")
+    return out
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:

@@ -106,6 +106,16 @@ def select_keepers(candidates: DataFrame, cfg: DedupConfig) -> DataFrame:
     mod-time-delta exception. Adds columns rank, keep_url, action.
 
     One shuffle (window over cluster_id); everything else is projection.
+
+    Scale note: a window partition is one task, so the wall-clock of this
+    stage is bounded below by the LARGEST cluster (a boilerplate template
+    with 10M exact members at 100 TB sorts on one core). The pipeline
+    emits max/p99 cluster sizes as actions-stage metrics so that
+    straggler is observable before it hurts; the mitigation when it trips
+    is upstream, not here — the exact pre-pass (operators/exact.py)
+    collapses exact-duplicate members to one representative per
+    content_hash before clustering, which is what keeps near-dup cluster
+    cardinality bounded by distinct-content counts.
     """
     w = Window.partitionBy("cluster_id").orderBy(*policy_sort_keys(cfg))
     wc = Window.partitionBy("cluster_id")

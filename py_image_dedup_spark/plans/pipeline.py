@@ -422,6 +422,27 @@ def run_dedup_pipeline(
         spark, p("actions"), resume, build_actions, metrics, "actions"
     )
     results["actions"] = actions
+    # Cluster-size skew report (same spirit as hot_bucket_rows): the
+    # select window's wall-clock floor is the largest single cluster —
+    # surface max/p99 member counts so a 100-TB run sees the straggler
+    # coming. One tiny job over the checkpointed actions (count per
+    # int64 cluster_id is map-side combined; the agg output is 1 row).
+    sizes = (
+        actions.groupBy("cluster_id").count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        )
+        .first()
+    )
+    metrics.append(
+        {"stage": "actions", "metric": "max_cluster_rows",
+         "value": float(sizes["mx"] or 0)}
+    )
+    metrics.append(
+        {"stage": "actions", "metric": "p99_cluster_rows",
+         "value": float(sizes["p99"] or 0)}
+    )
     return _finish()
 
 

@@ -168,6 +168,16 @@ def main() -> None:
         return min(max(recent, 0.8 * anchor), 1.05 * anchor)
 
     discards: dict[int, int] = {n_lo: 0, n_hi: 0}
+    # Downward re-anchor path (the quiet_ref band can ratchet UP on a lull
+    # but never DOWN, r4 lead): storms read NOISY on the probe — a stable
+    # run of rejected readings is not a storm but a genuinely lower host
+    # steady state (thermal derating, a reboot losing turbo). Six
+    # consecutive spaced rejections within a 5% spread re-anchor the band
+    # at their median; the event is archived so the audit sees the
+    # reference moved and why. Anything noisy still falls through to the
+    # flagged ungated sentinel exactly as before.
+    rejected_pre: list[float] = []
+    reanchors: list[dict] = []
 
     progress_path = os.path.join(REPO, "BENCH", "runs", "current_protocol.jsonl")
     os.makedirs(os.path.dirname(progress_path), exist_ok=True)
@@ -183,16 +193,41 @@ def main() -> None:
                 "ts": round(time.time(), 1),
             }) + "\n")
 
+    def maybe_reanchor() -> None:
+        nonlocal anchor
+        if len(rejected_pre) < 6:
+            return
+        tail = rejected_pre[-6:]
+        med = statistics.median(tail)
+        if (max(tail) - min(tail)) / med >= 0.05:
+            return  # noisy = storm; leave it to the ungated sentinel
+        event = {"reanchor": True, "old_anchor": round(anchor, 2),
+                 "new_anchor": round(med, 2), "samples": tail,
+                 "ts": round(time.time(), 1)}
+        anchor = med
+        probe_hist.clear()
+        probe_hist.append(anchor)
+        rejected_pre.clear()
+        reanchors.append(event)
+        with open(progress_path, "a") as f:
+            f.write(json.dumps(event) + "\n")
+        print(f"  [re-anchored quiet band: {event['old_anchor']} -> "
+              f"{event['new_anchor']} (6 stable rejected probes)]",
+              flush=True)
+
     def gated_bench(cpus: int) -> dict:
         for attempt in range(8):
             pre = probe4()
             if pre < 0.9 * quiet_ref():
                 log_probe("pre", cpus, pre, False)
+                rejected_pre.append(pre)
+                maybe_reanchor()
                 print(f"  [probe {pre} < 0.9x{quiet_ref():.2f}: host busy, "
                       "wait 60s]", flush=True)
                 time.sleep(60)
                 continue
             log_probe("pre", cpus, pre, True)
+            rejected_pre.clear()
             probe_hist.append(pre)
             try:
                 res = bench_once(cpus, sf_dir, groups)
@@ -235,16 +270,18 @@ def main() -> None:
             # mid-protocol still leaves a valid (smaller-sample) result
             write_report(results, probe, discards, runs=r + 1,
                          n_lo=n_lo, n_hi=n_hi, ratio=ratio,
-                         probe_hist=probe_hist, probe1_hist=probe1_hist)
+                         probe_hist=probe_hist, probe1_hist=probe1_hist,
+                         reanchors=reanchors)
 
     summary = write_report(results, probe, discards, runs=runs,
                            n_lo=n_lo, n_hi=n_hi, ratio=ratio,
-                           probe_hist=probe_hist, probe1_hist=probe1_hist)
+                           probe_hist=probe_hist, probe1_hist=probe1_hist,
+                           reanchors=reanchors)
     print(json.dumps(summary))
 
 
 def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
-                 probe_hist=None, probe1_hist=None) -> dict:
+                 probe_hist=None, probe1_hist=None, reanchors=None) -> dict:
     def med(cpus: int, key: str) -> float:
         return statistics.median(r["queries"][key] for r in results[cpus])
 
@@ -343,7 +380,14 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
            "flagged)" if max(discards.values()) >= 1000 else "") + " "
         "Every probe reading — accepted or rejected — is archived with the "
         "reference it was judged against in the protocol jsonl under "
-        "BENCH/runs/, so gate integrity is auditable post hoc.",
+        "BENCH/runs/, so gate integrity is auditable post hoc."
+        + ((" The quiet band was re-anchored DOWN mid-protocol ("
+            + "; ".join(f"{e['old_anchor']} -> {e['new_anchor']} tasks/s"
+                        for e in reanchors)
+            + ") after 6 consecutive spaced rejections within a 5% spread "
+            "— a stable lower reading is a host steady-state shift, not a "
+            "storm; events archived in the protocol jsonl.")
+           if reanchors else ""),
         "",
         "Caveats: shared multi-tenant host — co-tenant load adds 1.5-2x "
         "run-to-run noise (hence medians over interleaved runs); "

@@ -100,3 +100,51 @@ def test_audio_meta_kernel_routes_by_container(spark):
     assert abs(got["m"]["duration_s"] - 38 * 1152 / 44100) < 1e-6
     assert got["x"]["container"] == "unknown"
     assert got["x"]["duration_s"] is None
+
+
+def _xing_frame(n_frames: int, n_bytes: int | None = None,
+                mono: bool = False) -> bytes:
+    """A first frame carrying a Xing VBR header: tag sits after the
+    side-info block (MPEG1: 17 mono / 32 stereo, no CRC here)."""
+    base = bytearray(_frame(mono=mono))
+    pos = 4 + (17 if mono else 32)
+    flags = 1 | (2 if n_bytes is not None else 0)
+    tag = b"Xing" + flags.to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+    if n_bytes is not None:
+        tag += n_bytes.to_bytes(4, "big")
+    base[pos:pos + len(tag)] = tag
+    return bytes(base)
+
+
+def test_mp3_xing_header_read_but_duration_stays_exact():
+    """VBR stream with a Xing frame: the xing_* fields surface the
+    header's frame/byte counts (the first-frame-only duration estimate a
+    streaming reader wants), while duration_s stays the exact frame-walk
+    figure including the Xing frame itself."""
+    audio = [_frame(9), _frame(11), _frame(10), _frame(11)] * 10
+    data = _id3v2() + _xing_frame(40, n_bytes=sum(map(len, audio))) \
+        + b"".join(audio)
+    m = parse_mp3_meta(data)
+    assert m["n_frames"] == 41  # Xing frame is a valid MPEG frame
+    assert m["xing_frames"] == 40
+    assert m["xing_bytes"] == sum(map(len, audio))
+    assert abs(m["xing_duration_s"] - 40 * 1152 / 44100) < 1e-6
+    assert abs(m["duration_s"] - 41 * 1152 / 44100) < 1e-6
+
+
+def test_mp3_xing_mono_offset_and_info_tag():
+    base = bytearray(_xing_frame(7, mono=True))
+    pos = 4 + 17
+    assert bytes(base[pos:pos + 4]) == b"Xing"
+    base[pos:pos + 4] = b"Info"  # CBR encoders write 'Info', same layout
+    m = parse_mp3_meta(bytes(base) + _frame(mono=True))
+    assert m["xing_frames"] == 7
+    assert m["xing_bytes"] is None
+    assert m["channels"] == 1
+
+
+def test_mp3_without_xing_reports_none():
+    m = parse_mp3_meta(b"".join(_frame() for _ in range(3)))
+    assert m["xing_frames"] is None
+    assert m["xing_bytes"] is None
+    assert m["xing_duration_s"] is None

@@ -256,3 +256,160 @@ def test_color_420_with_restart_markers():
     w, h, dec = decode_jpeg(data)
     assert (w, h) == (48, 32)
     assert np.abs(dec - ypl).mean() < 4
+
+
+# ----------------- test-local progressive 4:2:0 color encoder (forward)
+
+def _quant_planes(ypl, cb, cr, quality):
+    """Per-component zigzag coefficient blocks, raster order (the
+    decoder's non-interleaved walk; dims % 16 == 0 keeps the MCU-aligned
+    grid equal to the T.81 A.2.2 ceil grid for every component)."""
+    qt2 = _quality_qtable(quality).reshape(8, 8)
+
+    def blocks(plane):
+        out = []
+        for y0 in range(0, plane.shape[0], 8):
+            for x0 in range(0, plane.shape[1], 8):
+                coef = _DCT_C @ (plane[y0:y0 + 8, x0:x0 + 8] - 128.0) \
+                    @ _DCT_C.T
+                out.append(np.round(coef / qt2).astype(np.int64)
+                           .reshape(64)[ZIGZAG])
+        return out
+
+    return [blocks(np.asarray(p, dtype=np.float64)) for p in (ypl, cb, cr)]
+
+
+def _mcu_order(mcux: int, mcuy: int):
+    """(ci, raster_block_index) sequence in interleaved 4:2:0 MCU order:
+    2x2 luma, then one Cb, one Cr per MCU."""
+    order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    order.append((0, (my * 2 + by) * mcux * 2 + mx * 2 + bx))
+            order.append((1, my * mcux + mx))
+            order.append((2, my * mcux + mx))
+    return order
+
+
+def _ecs_with_restarts(encode_chunk, units, dri: int) -> bytes:
+    """Entropy-coded segments: a fresh bit-writer (and predictor reset,
+    handled by encode_chunk) per restart interval, RSTn cycling 0-7."""
+    step = dri if dri else len(units)
+    out = bytearray()
+    rst = 0
+    for i in range(0, len(units), step):
+        if i:
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        bw = _BitWriter()
+        encode_chunk(bw, units[i:i + step])
+        out += bw.flush()
+    return bytes(out)
+
+
+def _encode_color_420_progressive(ypl, cb, cr, quality=90, dri=0):
+    """Progressive (SOF2) interleaved-DC 4:2:0 color JPEG from the
+    module's own band encoders: DC first Al=1 (interleaved, ns=3),
+    spectral-selection AC first scans per component, then the DC refine
+    bit — the multi-component Annex G shapes the grayscale progressive
+    oracle can't reach. Quantization matches _encode_color_420, so both
+    must decode bit-identically."""
+    from py_image_dedup_spark.operators.jpeg import (
+        PROG_AC_BITS, PROG_AC_VALS, PROG_DC_BITS, PROG_DC_VALS,
+        _enc_ac_first,
+    )
+
+    h, w = ypl.shape
+    assert h % 16 == 0 and w % 16 == 0
+    comp_blocks = _quant_planes(ypl, cb, cr, quality)
+    dc_map = _huff_encode_map(PROG_DC_BITS, PROG_DC_VALS)
+    ac_map = _huff_encode_map(PROG_AC_BITS, PROG_AC_VALS)
+    order = _mcu_order(w // 16, h // 16)
+    mcu_sz = 6  # blocks per MCU: 4 Y + Cb + Cr
+
+    def dc_first_chunk(bw, units):
+        preds = [0, 0, 0]
+        for ci, bi in units:
+            v = int(comp_blocks[ci][bi][0]) >> 1  # Al=1, arithmetic shift
+            s, code = _magnitude(v - preds[ci])
+            preds[ci] = v
+            hc, hl = dc_map[s]
+            bw.write(hc, hl)
+            if s:
+                bw.write(code, s)
+
+    def dc_refine_chunk(bw, units):
+        for ci, bi in units:
+            bw.write(int(comp_blocks[ci][bi][0]) & 1, 1)
+
+    def ac_first_chunk(ci, ss, se):
+        def run(bw, units):
+            _enc_ac_first(bw, ac_map, units, ss, se, 0)
+        return run
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qt = _quality_qtable(quality)
+    parts = [
+        b"\xff\xd8",
+        seg(0xDB, bytes([0x00]) + qt[ZIGZAG].astype(np.uint8).tobytes()),
+        seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])),
+        seg(0xC4, bytes([0x00]) + bytes(PROG_DC_BITS) + bytes(PROG_DC_VALS)
+            + bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)),
+    ]
+    if dri:
+        parts.append(seg(0xDD, struct.pack(">H", dri)))
+    # interleaved DC first scan, Al=1 (restart interval counts MCUs)
+    parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 1])))
+    parts.append(_ecs_with_restarts(
+        dc_first_chunk, order, dri * mcu_sz if dri else 0,
+    ))
+    # per-component AC first scans, spectral selection on luma
+    for cs, ci, ss, se in ((1, 0, 1, 5), (2, 1, 1, 63),
+                           (3, 2, 1, 63), (1, 0, 6, 63)):
+        parts.append(seg(0xDA, bytes([1, cs, 0x00, ss, se, 0])))
+        parts.append(_ecs_with_restarts(
+            ac_first_chunk(ci, ss, se), comp_blocks[ci], dri,
+        ))
+    # interleaved DC refine scan (Ah=1 -> Al=0)
+    parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])))
+    parts.append(_ecs_with_restarts(
+        dc_refine_chunk, order, dri * mcu_sz if dri else 0,
+    ))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def test_color_progressive_matches_baseline_color_decode():
+    """Multi-component progressive: interleaved DC (MCU order, 4:2:0
+    sampling factors) + per-component spectral-selection AC + DC
+    successive approximation must reconstruct the SAME luma plane as the
+    baseline color encoding of identical quantized coefficients."""
+    ypl = _test_image(32, 48, seed=21)
+    cb = _test_image(16, 24, seed=22) * 0.5 + 64
+    cr = _test_image(16, 24, seed=23) * 0.5 + 64
+    wp, hp, dec_prog = decode_jpeg(
+        _encode_color_420_progressive(ypl, cb, cr, quality=90)
+    )
+    wb, hb, dec_base = decode_jpeg(_encode_color_420(ypl, cb, cr, quality=90))
+    assert (wp, hp) == (wb, hb) == (48, 32)
+    assert np.array_equal(dec_prog, dec_base)
+    assert np.abs(dec_prog - ypl).mean() < 4
+
+
+def test_color_progressive_with_restart_markers():
+    """DRI across progressive scan types: restart interval counts MCUs in
+    the interleaved DC scans and blocks in the non-interleaved AC scans;
+    predictors, EOB runs and bit alignment all reset at each RSTn."""
+    ypl = _test_image(32, 48, seed=31)
+    cb = np.full((16, 24), 90.0)
+    cr = np.full((16, 24), 150.0)
+    plain = decode_jpeg(_encode_color_420_progressive(ypl, cb, cr, 90))[2]
+    with_rst = decode_jpeg(
+        _encode_color_420_progressive(ypl, cb, cr, 90, dri=2)
+    )[2]
+    assert np.array_equal(plain, with_rst)
