@@ -88,8 +88,15 @@ def build_bench_session(app_name: str, shuffle_parts: int):
     return spark, parallelism
 
 
+def corpus_path(n_groups: int, seed: int = 42) -> str:
+    # single source of truth for the cache key: a version bump edited in
+    # one place can't desync the existence check from the writer (which
+    # would silently regenerate the corpus inside the timed session)
+    return os.path.join(BENCH_CACHE, f"pages_v4_1_g{n_groups}_s{seed}.parquet")
+
+
 def ensure_corpus(spark, n_groups: int, seed: int = 42) -> str:
-    path = os.path.join(BENCH_CACHE, f"pages_v4_1_g{n_groups}_s{seed}.parquet")
+    path = corpus_path(n_groups, seed)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generate_pages(spark, n_groups, seed=seed).write.mode(
             "overwrite"
@@ -108,10 +115,8 @@ def main() -> None:
 
     # generate the corpus (if missing) in a throwaway session so Python-
     # worker / heap residue from generation can't pollute the timed run
-    corpus_path = os.path.join(
-        BENCH_CACHE, f"pages_v4_1_g{n_groups}_s42.parquet"
-    )
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+    corpus = corpus_path(n_groups)
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen = build_session(
             app_name="bench-corpus-gen", master="local[8]",
             shuffle_partitions=shuffle_parts,
@@ -124,7 +129,7 @@ def main() -> None:
         "py-image-dedup-spark-bench", shuffle_parts
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(corpus_path)
+    pages = spark.read.parquet(corpus)
     n_docs = pages.count()
 
     queries: dict[str, float] = {}

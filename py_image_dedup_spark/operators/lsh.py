@@ -42,8 +42,23 @@ def compute_signatures(pages_norm: DataFrame, cfg: DedupConfig,
     return pages_norm.withColumn("sig", udf(F.col(text_col)))
 
 
+def variant_sig_cols(columns, cfg: DedupConfig) -> tuple:
+    """Variant signature columns PRESENT in `columns`, in cfg order.
+
+    Name-keyed (sig_v_<variant>, not positional sig_v0/sig_v1) so a
+    signatures checkpoint or store built under one variant list can never
+    be silently re-verified under a DIFFERENT variant's semantics on
+    resume — a renamed variant simply doesn't match and the mode falls
+    back to the canonical signature, which is an auditable degradation,
+    not a wrong answer (ADVICE r5)."""
+    return tuple(
+        f"sig_v_{name}" for name in cfg.norm_variants
+        if f"sig_v_{name}" in columns
+    )
+
+
 def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, sig[, sig_v0..]) -> (url, band_id, band_hash). band_hash =
+    """(url, sig[, sig_v_<variant>..]) -> (url, band_id, band_hash). band_hash =
     xxhash64 over the band's signature slice + band index; computed
     JVM-side via transform + posexplode — no Python.
 
@@ -60,10 +75,7 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             lambda i: F.xxhash64(F.slice(F.col(sig_col), i * r + 1, r), i),
         )
 
-    sig_cols = ["sig"] + [
-        f"sig_v{i}" for i in range(len(cfg.norm_variants))
-        if f"sig_v{i}" in signatures.columns
-    ]
+    sig_cols = ["sig", *variant_sig_cols(signatures.columns, cfg)]
     arrs = [band_arr(c) for c in sig_cols]
     bands = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
     return signatures.select(

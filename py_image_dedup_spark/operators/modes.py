@@ -195,9 +195,10 @@ def minhash_signatures(pages_norm: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
 
         udf = make_minhash_udf(cfg)
-        for i, name in enumerate(cfg.norm_variants):
+        for name in cfg.norm_variants:
             out = out.withColumn(
-                f"sig_v{i}", udf(variant_normalizer(name)(F.col("norm_text")))
+                f"sig_v_{name}",
+                udf(variant_normalizer(name)(F.col("norm_text"))),
             )
     return out
 
@@ -208,9 +209,8 @@ def minhash_pairs(signatures: DataFrame, cfg: DedupConfig,
     pairs = _capped_self_join(bands, cfg, stats)
     # variant sig columns actually present (a store written without
     # variants verifies on "sig" alone even if cfg now asks for variants)
-    sig_cols = ("sig",) + tuple(
-        f"sig_v{i}" for i in range(len(cfg.norm_variants))
-        if f"sig_v{i}" in signatures.columns
+    sig_cols = ("sig",) + _minhash.variant_sig_cols(
+        signatures.columns, cfg
     )
     # Full-band-agreement short-circuit: a pair can share at most one
     # bucket per band, so score == n_total_bands means EVERY band of EVERY

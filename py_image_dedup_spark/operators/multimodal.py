@@ -620,14 +620,21 @@ def audio_meta(
                 try:
                     if is_wav(data):
                         rate, n_ch, mono = decode_wav(data)
+                        # a valid header with an empty/tiny data chunk
+                        # (crawl-truncated payload) has no meaningful
+                        # bitrate — and dividing by ~0 overflows the
+                        # Int32 output column, which would fail the whole
+                        # Arrow batch, not just this row
+                        dur = len(mono) / rate
+                        kbps = round(len(data) * 8 / 1000 / dur) if dur > 0 \
+                            else None
+                        if kbps is not None and kbps > 2**31 - 1:
+                            kbps = None
                         row.update(
                             container="wav",
-                            duration_s=round(len(mono) / rate, 6),
+                            duration_s=round(dur, 6),
                             sample_rate=rate, channels=n_ch,
-                            bitrate_kbps=round(
-                                len(data) * 8 / 1000
-                                / max(len(mono) / rate, 1e-9)
-                            ),
+                            bitrate_kbps=kbps,
                         )
                     elif is_mp3(data):
                         m = parse_mp3_meta(data)

@@ -35,10 +35,29 @@ from py_image_dedup_spark.operators.exact import (
 )
 from py_image_dedup_spark.operators.incremental import merge_signatures
 from py_image_dedup_spark.operators.lsh import (
-    compute_signatures,
     explode_bands,
+    variant_sig_cols,
     verify_pairs,
 )
+from py_image_dedup_spark.operators.modes import minhash_signatures
+
+
+def _require_variant_cols(store_columns, cfg: DedupConfig) -> tuple:
+    """cfg.norm_variants against an existing store's schema: the store must
+    already carry every requested sig_v_<variant> column, or the stream
+    would silently dedup WITHOUT the variants batch mode catches (ADVICE
+    r5) — and the first variant-batch append would leave the log with a
+    mixed schema. Rebuild the store (or drop norm_variants) instead."""
+    want = tuple(f"sig_v_{n}" for n in cfg.norm_variants)
+    missing = [c for c in want if c not in store_columns]
+    if missing:
+        raise ValueError(
+            f"signature store lacks variant signature columns {missing} "
+            "required by cfg.norm_variants="
+            f"{cfg.norm_variants}; rebuild the store with variants enabled "
+            "or run without norm_variants"
+        )
+    return want
 
 
 def incremental_pairs(
@@ -55,7 +74,10 @@ def incremental_pairs(
     """
     hashed = with_content_hash(new_pages)
     reps = exact_unique_representatives(hashed)
-    new_sigs = compute_signatures(reps, cfg).select("url", "content_hash", "sig")
+    vcols = _require_variant_cols(signature_store.columns, cfg)
+    new_sigs = minhash_signatures(reps, cfg).select(
+        "url", "content_hash", "sig", *vcols
+    )
 
     store = merge_signatures(signature_store, new_sigs)
 
@@ -83,7 +105,7 @@ def incremental_pairs(
         .groupBy("url_a", "url_b")
         .agg(F.count("*").cast("double").alias("score"))
     )
-    verified = verify_pairs(pairs, store, cfg)
+    verified = verify_pairs(pairs, store, cfg, sig_cols=("sig", *vcols))
     return store, verified
 
 
@@ -402,9 +424,10 @@ def run_incremental_stream(
         )
         hashed = with_content_hash(batch)
         reps = exact_unique_representatives(hashed)
+        vcols = tuple(f"sig_v_{n}" for n in cfg.norm_variants)
         new_sigs = (
-            compute_signatures(reps, cfg)
-            .select("url", "content_hash", "sig")
+            minhash_signatures(reps, cfg)
+            .select("url", "content_hash", "sig", *vcols)
             .withColumn("batch_id", F.lit(batch_id))
             .localCheckpoint(eager=True)  # hash once, 4 consumers below
         )
@@ -428,6 +451,8 @@ def run_incremental_stream(
         store_sigs = None
         if os.path.exists(os.path.join(sig_path, "_SUCCESS")):
             sig_log = spark.read.parquet(sig_path)
+            # fail BEFORE this batch appends a mixed-schema file to the log
+            _require_variant_cols(sig_log.columns, cfg)
             store_sigs = latest_signatures(sig_log)
             # partition-pruned scan: only band_pfx partitions that contain a
             # touched bucket are read, then exact bucket keys semi-join
@@ -463,12 +488,14 @@ def run_incremental_stream(
             .groupBy("url_a", "url_b")
             .agg(F.count("*").cast("double").alias("score"))
         )
-        sigs_view = new_sigs.select("url", "content_hash", "sig")
+        sigs_view = new_sigs.select("url", "content_hash", "sig", *vcols)
         if store_sigs is not None:
             sigs_view = merge_signatures(
-                store_sigs.select("url", "content_hash", "sig"), sigs_view
+                store_sigs.select("url", "content_hash", "sig", *vcols),
+                sigs_view,
             )
-        verified = verify_pairs(pairs, sigs_view, cfg)
+        verified = verify_pairs(pairs, sigs_view, cfg,
+                                sig_cols=("sig", *vcols))
 
         # appends only — nothing a concurrent or later plan reads is deleted
         verified.write.mode("append").parquet(pairs_path)

@@ -201,8 +201,32 @@ def main() -> None:
         med = statistics.median(tail)
         if (max(tail) - min(tail)) / med >= 0.05:
             return  # noisy = storm; leave it to the ungated sentinel
+        # Stability alone cannot tell a host derate from a steady co-tenant
+        # job (ADVICE this round): discriminate with the 1-thread probe — a
+        # frequency/steady-state derate lowers 1-thread and 4-thread
+        # throughput PROPORTIONALLY, while a co-tenant compute job hits the
+        # 4-thread probe much harder (one thread still finds a free core).
+        # Re-anchor only when the single-thread drop corroborates.
+        p1_ref = statistics.median(probe1_hist)
+        p1_now = probe1()
+        ratio4 = med / anchor
+        ratio1 = p1_now / p1_ref if p1_ref else ratio4
+        if ratio1 > ratio4 * 1.15:
+            veto = {"reanchor_veto": True, "probe4_ratio": round(ratio4, 3),
+                    "probe1_ratio": round(ratio1, 3), "probe1_now": p1_now,
+                    "samples": tail, "ts": round(time.time(), 1)}
+            rejected_pre.clear()  # re-accumulate before probing again
+            with open(progress_path, "a") as f:
+                f.write(json.dumps(veto) + "\n")
+            print(f"  [re-anchor vetoed: 1-thread probe at "
+                  f"{ratio1:.2f}x of its reference vs 4-thread at "
+                  f"{ratio4:.2f}x — steady co-tenant load, not a host "
+                  "derate]", flush=True)
+            return
+        probe1_hist.append(p1_now)
         event = {"reanchor": True, "old_anchor": round(anchor, 2),
                  "new_anchor": round(med, 2), "samples": tail,
+                 "probe1_ratio": round(ratio1, 3),
                  "ts": round(time.time(), 1)}
         anchor = med
         probe_hist.clear()
@@ -385,8 +409,10 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
             + "; ".join(f"{e['old_anchor']} -> {e['new_anchor']} tasks/s"
                         for e in reanchors)
             + ") after 6 consecutive spaced rejections within a 5% spread "
-            "— a stable lower reading is a host steady-state shift, not a "
-            "storm; events archived in the protocol jsonl.")
+            "AND a corroborating proportional 1-thread-probe drop (a "
+            "steady co-tenant job lowers the 4-thread probe without the "
+            "1-thread one and is VETOED, not re-anchored); events "
+            "archived in the protocol jsonl.")
            if reanchors else ""),
         "",
         "Caveats: shared multi-tenant host — co-tenant load adds 1.5-2x "

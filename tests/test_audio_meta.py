@@ -148,3 +148,17 @@ def test_mp3_without_xing_reports_none():
     assert m["xing_frames"] is None
     assert m["xing_bytes"] is None
     assert m["xing_duration_s"] is None
+
+
+def test_audio_meta_empty_wav_data_chunk_no_overflow(spark):
+    """A structurally valid WAV whose data chunk is empty (crawl-truncated
+    payload padded with trailer bytes) must classify as wav with a null
+    bitrate — not overflow the Int32 bitrate column and fail the batch."""
+    wav = encode_wav_pcm16(np.zeros(0), 8000) + b"\x00" * 300_000
+    df = spark.createDataFrame(
+        [("empty", bytearray(wav))], "url string, payload binary"
+    )
+    row = audio_meta(df).collect()[0]
+    assert row["container"] == "wav"
+    assert row["bitrate_kbps"] is None
+    assert row["duration_s"] == 0.0

@@ -344,7 +344,7 @@ def _encode_color_420_progressive(ypl, cb, cr, quality=90, dri=0):
         for ci, bi in units:
             bw.write(int(comp_blocks[ci][bi][0]) & 1, 1)
 
-    def ac_first_chunk(ci, ss, se):
+    def ac_first_chunk(ss, se):
         def run(bw, units):
             _enc_ac_first(bw, ac_map, units, ss, se, 0)
         return run
@@ -373,7 +373,7 @@ def _encode_color_420_progressive(ypl, cb, cr, quality=90, dri=0):
                            (3, 2, 1, 63), (1, 0, 6, 63)):
         parts.append(seg(0xDA, bytes([1, cs, 0x00, ss, se, 0])))
         parts.append(_ecs_with_restarts(
-            ac_first_chunk(ci, ss, se), comp_blocks[ci], dri,
+            ac_first_chunk(ss, se), comp_blocks[ci], dri,
         ))
     # interleaved DC refine scan (Ah=1 -> Al=0)
     parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])))

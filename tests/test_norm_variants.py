@@ -87,3 +87,60 @@ def test_punct_mangled_dup_caught_with_flag(spark):
 
 def test_flag_off_is_default():
     assert DedupConfig().norm_variants == ()
+
+
+def test_streaming_incremental_honors_variants(spark):
+    """The streaming micro-batch step must catch the same punct-mangled
+    near-dup batch mode catches when norm_variants is on (ADVICE r5: it
+    previously computed canonical-only signatures and silently missed)."""
+    from py_image_dedup_spark.operators.exact import (
+        exact_unique_representatives,
+        with_content_hash,
+    )
+    from py_image_dedup_spark.streaming.incremental import incremental_pairs
+
+    docs = dict(_docs())
+    first = spark.createDataFrame(
+        [("clean", docs["clean"]), ("other", docs["other"])],
+        "url string, text string",
+    )
+    second = spark.createDataFrame(
+        [("mangled", docs["mangled"])], "url string, text string"
+    )
+    store0 = minhash_signatures(
+        exact_unique_representatives(with_content_hash(first)), CFG_ON
+    ).select("url", "content_hash", "sig", "sig_v_strip_punct")
+
+    _, new_pairs = incremental_pairs(second, store0, CFG_ON)
+    got = {(r["url_a"], r["url_b"]): r["dist"] for r in new_pairs.collect()}
+    assert ("clean", "mangled") in got
+    assert got[("clean", "mangled")] == 0.0
+    assert all("other" not in p for p in got)
+
+
+def test_streaming_store_without_variants_raises(spark):
+    """A canonical-only signature store with norm_variants requested must
+    fail loudly, not silently dedup without the variants (and not append a
+    mixed-schema file to the store log)."""
+    from py_image_dedup_spark.operators.exact import (
+        exact_unique_representatives,
+        with_content_hash,
+    )
+    from py_image_dedup_spark.operators.lsh import compute_signatures
+    from py_image_dedup_spark.streaming.incremental import incremental_pairs
+
+    docs = dict(_docs())
+    first = spark.createDataFrame(
+        [("clean", docs["clean"])], "url string, text string"
+    )
+    second = spark.createDataFrame(
+        [("mangled", docs["mangled"])], "url string, text string"
+    )
+    store0 = compute_signatures(
+        exact_unique_representatives(with_content_hash(first)), CFG_ON
+    ).select("url", "content_hash", "sig")
+    try:
+        incremental_pairs(second, store0, CFG_ON)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "sig_v_strip_punct" in str(e)
