@@ -262,6 +262,24 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the CC components — skew observability
+    as a first-class query (the driver-table twin of the pipeline's
+    max/p99_cluster_rows metrics): any window keyed by cluster_id has its
+    wall-clock floored by the largest bucket here (operators/select.py
+    scale note). Two tiny aggregations over the CC output; both map-side
+    combined."""
+    cc = q_connected_components(spark, sf_dir)
+    return (
+        cc.groupBy("component").count()
+        .groupBy(F.col("count").alias("cluster_rows")).count()
+        .select(
+            F.col("cluster_rows").cast("long"),
+            F.col("count").cast("long").alias("n_clusters"),
+        )
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 8 (ids/ranks
     only: float sims are engine-internal)."""
@@ -650,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "scoped_pairs": q_scoped_pairs,
         "connected_components": q_connected_components,
+        "cluster_size_histogram": q_cluster_size_histogram,
         "ann_topk": q_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1035,7 +1054,7 @@ def oracle_sql() -> dict[str, str]:
     lang_score = {
         k: f"len(regexp_extract_all(lower(text), '{v}'))" for k, v in lex.items()
     }
-    return {
+    out = {
         "exact_dedup_actions": f"""
             WITH d AS (
               SELECT {_URL} AS url, {_NT} AS nt FROM documents
@@ -1561,3 +1580,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_variants_pairs": _minhash_variants_sql(),
         "simhash_pairs": _simhash_sql(),
     }
+    # derived twin: the CC closure reused verbatim as a subquery, then the
+    # same two aggregations the Spark side runs
+    out["cluster_size_histogram"] = f"""
+        WITH comp AS ({out["connected_components"]})
+        SELECT cluster_rows, count(*)::BIGINT AS n_clusters
+        FROM (
+          SELECT component, count(*)::BIGINT AS cluster_rows
+          FROM comp GROUP BY component
+        ) GROUP BY cluster_rows
+    """
+    return out
