@@ -34,6 +34,9 @@ AUDITED = [
                      "ArrowEvalPython only for cell assignment"),
     ("minhash_lsh_pairs", "band-key SortMergeJoin (spillable), broadcast "
                           "anti-joins for hot/warm bucket tiers"),
+    ("cluster_size_histogram", "two HashAggregates each with a partial_ "
+                               "phase before its exchange (map-side "
+                               "combine on component, then on size)"),
 ]
 
 
