@@ -144,3 +144,90 @@ def test_streaming_store_without_variants_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "sig_v_strip_punct" in str(e)
+
+
+def _stream_wave(spark, rows, path):
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    df = spark.createDataFrame(
+        [(u, "2026-01-01 00:00:00", None, t, "en") for u, t in rows],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    tmp = path + "_tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _shutil.move(_glob.glob(_os.path.join(tmp, "part-*.parquet"))[0], path)
+    _shutil.rmtree(tmp)
+
+
+def test_t7_stream_honors_variants(spark, tmp_path):
+    """The T7 daemon path with norm_variants on: variant signatures enter
+    the store log and the punct-mangled near-dup lands in the pairs log
+    with dist 0 across micro-batches."""
+    import os
+
+    from py_image_dedup_spark.streaming.incremental import (
+        run_incremental_stream,
+    )
+
+    docs = dict(_docs())
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    _stream_wave(spark, [("clean", docs["clean"]), ("other", docs["other"])],
+                 os.path.join(input_dir, "wave1.parquet"))
+    _stream_wave(spark, [("mangled", docs["mangled"])],
+                 os.path.join(input_dir, "wave2.parquet"))
+
+    q = run_incremental_stream(
+        spark, input_dir, str(tmp_path / "store"), str(tmp_path / "pairs"),
+        CFG_ON, available_now=True, max_files_per_trigger=1,
+        n_band_partitions=16,
+    )
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    sig_log = spark.read.parquet(str(tmp_path / "store" / "sigs"))
+    assert "sig_v_strip_punct" in sig_log.columns
+    got = {
+        (r["url_a"], r["url_b"]): r["dist"]
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert got.get(("clean", "mangled")) == 0.0
+    assert all("other" not in p for p in got)
+
+
+def test_t7_stream_canonical_log_with_variants_fails_loudly(spark, tmp_path):
+    """Restarting the daemon with norm_variants against a store log built
+    WITHOUT them must fail the stream (before appending a mixed-schema
+    file), not silently dedup canonical-only."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from py_image_dedup_spark.streaming.incremental import (
+        run_incremental_stream,
+    )
+
+    docs = dict(_docs())
+    input_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(input_dir)
+    _stream_wave(spark, [("clean", docs["clean"])],
+                 os.path.join(input_dir, "wave1.parquet"))
+    q = run_incremental_stream(
+        spark, input_dir, store, str(tmp_path / "pairs"),
+        CFG_OFF, available_now=True, n_band_partitions=16,
+    )
+    assert q.awaitTermination(300)
+
+    _stream_wave(spark, [("mangled", docs["mangled"])],
+                 os.path.join(input_dir, "wave2.parquet"))
+    q2 = run_incremental_stream(
+        spark, input_dir, store, str(tmp_path / "pairs"),
+        CFG_ON, available_now=True, n_band_partitions=16,
+    )
+    try:
+        q2.awaitTermination(300)
+        raise AssertionError("expected the stream to fail on schema guard")
+    except StreamingQueryException as e:
+        assert "sig_v_strip_punct" in str(e)
