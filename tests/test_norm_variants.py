@@ -231,3 +231,26 @@ def test_t7_stream_canonical_log_with_variants_fails_loudly(spark, tmp_path):
         raise AssertionError("expected the stream to fail on schema guard")
     except StreamingQueryException as e:
         assert "sig_v_strip_punct" in str(e)
+
+
+def test_checkpoint_under_different_variant_list_falls_back_canonical(spark):
+    """Signatures computed under one variant list, pairs requested under
+    another: the name-keyed columns (sig_v_<variant>) don't match, so the
+    mode verifies on the canonical signature alone — identical output to
+    variants-off, never a silent reuse of the wrong variant's signatures
+    (the positional sig_v0 naming this replaces WOULD have reused them)."""
+    from py_image_dedup_spark.functions.normalize import normalize_text
+
+    df = spark.createDataFrame(_docs(), "url string, text string").select(
+        "url", normalize_text("text").alias("norm_text")
+    )
+    sigs_a = minhash_signatures(df, CFG_ON)  # strip_punct
+    assert "sig_v_strip_punct" in sigs_a.columns
+    cfg_b = DedupConfig(max_dist=0.2, norm_variants=("letters_only",))
+    got_b = {
+        (r["url_a"], r["url_b"]): r["dist"]
+        for r in minhash_pairs(sigs_a, cfg_b).collect()
+    }
+    got_off = _pairs(spark, CFG_OFF)
+    assert got_b == got_off  # canonical-only fallback, bit-identical
+    assert ("clean", "mangled") not in got_b
