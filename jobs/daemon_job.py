@@ -57,6 +57,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--mode", default=None, choices=[None, "minhash"],
                    help="streaming path is minhash-only for now")
     p.add_argument("--max-dist", type=float, default=None)
+    p.add_argument("--norm-variants", default=None,
+                   help="comma-separated extra normalization variants "
+                        "(ALL_ORIENTATIONS analog) — the store log must "
+                        "carry the matching sig_v_<variant> columns, or "
+                        "the stream fails loudly at the first batch")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
@@ -67,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     overrides = {}
     if args.max_dist is not None:
         overrides["max_dist"] = args.max_dist
+    if args.norm_variants is not None:
+        overrides["norm_variants"] = tuple(
+            v for v in args.norm_variants.split(",") if v
+        )
     cfg = config_from_sources(yaml_path=args.config_yaml, **overrides)
     spark = build_session(
         app_name="dedup-daemon",

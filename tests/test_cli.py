@@ -107,3 +107,13 @@ def test_cli_compact_requires_store():
     with pytest.raises(SystemExit) as exc:
         cli.main(["compact"])  # argparse: missing required --store
     assert exc.value.code == 2
+
+
+def test_daemon_norm_variants_flag():
+    from jobs import daemon_job
+
+    args = daemon_job.parse_args(
+        ["--watch", "/tmp/w", "--store", "/tmp/s", "--pairs", "/tmp/p",
+         "--norm-variants", "strip_punct,letters_only"]
+    )
+    assert args.norm_variants == "strip_punct,letters_only"
