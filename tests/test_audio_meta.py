@@ -162,3 +162,16 @@ def test_audio_meta_empty_wav_data_chunk_no_overflow(spark):
     assert row["container"] == "wav"
     assert row["bitrate_kbps"] is None
     assert row["duration_s"] == 0.0
+
+
+def test_mp3_xing_with_crc_protection():
+    """Protection bit 0 (CRC present): the 2-byte CRC sits between header
+    and side info, shifting the Xing tag by 2 — the offset path a
+    no-CRC-only test never exercises."""
+    base = bytearray(_frame())
+    base[1] = 0xFA  # MPEG1 Layer III, protection ON
+    pos = 4 + 2 + 32  # header + CRC + stereo side info
+    tag = b"Xing" + (1).to_bytes(4, "big") + (5).to_bytes(4, "big")
+    base[pos:pos + len(tag)] = tag
+    m = parse_mp3_meta(bytes(base) + _frame())
+    assert m["xing_frames"] == 5
