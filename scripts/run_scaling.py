@@ -129,6 +129,39 @@ def main() -> None:
     anchor = statistics.median(anchor_samples)
     print(f"quiet anchor {anchor} from {anchor_samples}", flush=True)
 
+    # Storm-level-anchor detection (r5 incident: a protocol launched inside
+    # a STABLE co-tenant storm anchors the quiet band AT storm level, and
+    # the gate becomes vacuous — storm runs pass as "gated"). Compare
+    # against this boot's own anchor history; a fresh anchor well below the
+    # boot's known quiet level marks every result of this session suspect.
+    # Advisory, not fatal: the report discloses it, the runs still happen.
+    hist_path = os.path.join(REPO, "BENCH", "runs", "anchor_history.jsonl")
+    try:
+        boot_id = open("/proc/sys/kernel/random/boot_id").read().strip()
+    except OSError:
+        boot_id = "unknown"
+    prior = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            prior = [
+                j["anchor"] for j in map(json.loads, f)
+                if j.get("boot_id") == boot_id and not j.get("suspect")
+            ]
+    anchor_suspect = bool(prior) and anchor < 0.85 * statistics.median(prior)
+    if anchor_suspect:
+        print(
+            f"  [WARNING: anchor {anchor} is below 0.85x this boot's known "
+            f"quiet level {statistics.median(prior):.2f} — a stable storm "
+            "is likely active; results will be flagged suspect]",
+            flush=True,
+        )
+    os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({
+            "boot_id": boot_id, "anchor": anchor,
+            "suspect": anchor_suspect, "ts": round(time.time(), 1),
+        }) + "\n")
+
     results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     bench_once(n_hi, sf_dir, groups)  # warm-up, discarded; generates corpus
 
@@ -295,17 +328,19 @@ def main() -> None:
             write_report(results, probe, discards, runs=r + 1,
                          n_lo=n_lo, n_hi=n_hi, ratio=ratio,
                          probe_hist=probe_hist, probe1_hist=probe1_hist,
-                         reanchors=reanchors)
+                         reanchors=reanchors, anchor_suspect=anchor_suspect)
 
     summary = write_report(results, probe, discards, runs=runs,
                            n_lo=n_lo, n_hi=n_hi, ratio=ratio,
                            probe_hist=probe_hist, probe1_hist=probe1_hist,
-                           reanchors=reanchors)
+                           reanchors=reanchors,
+                           anchor_suspect=anchor_suspect)
     print(json.dumps(summary))
 
 
 def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
-                 probe_hist=None, probe1_hist=None, reanchors=None) -> dict:
+                 probe_hist=None, probe1_hist=None, reanchors=None,
+                 anchor_suspect=False) -> dict:
     def med(cpus: int, key: str) -> float:
         return statistics.median(r["queries"][key] for r in results[cpus])
 
@@ -374,6 +409,12 @@ def write_report(results, probe, discards, *, runs, n_lo, n_hi, ratio,
             f"readings) -> ceiling {eff_ceiling:.2f}.",
         ]
     lines += [
+        "",
+        ("**SUSPECT SESSION: the quiet anchor was sampled below 0.85x of "
+         "this boot's known quiet level (stable co-tenant storm at "
+         "launch); the probe gate was vacuous and every figure below is "
+         "an UNDER-measurement — do not publish as protocol evidence.**"
+         if anchor_suspect else ""),
         "",
         f"**Scaling efficiency E = thr(4N) / ({ratio:.0f} x thr(N)) = "
         f"{eff:.3f}** (gate >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})",
