@@ -133,6 +133,13 @@ class DedupConfig:
     # executors at 3M docs). Above the limit the shuffle join is the only
     # shape that scales anyway.
     broadcast_pairs_limit: int = 500_000
+    # Connected-components small-graph tier: when the measured pair-edge
+    # count is at or below this, the clusters stage computes components in
+    # ONE single-partition union-find task instead of driver-serial
+    # large-star/small-star rounds (label-identical; operators/components).
+    # Sized to one task's memory (~100 B/edge of Python dict) — far below
+    # any 100 TB pair table, which takes the distributed rounds unchanged.
+    cc_single_task_edges: int = 1_000_000
     # When set, run_dedup_pipeline pins spark.sql.shuffle.partitions for its
     # stages (AQE still coalesces down at runtime). None = inherit session.
     # Partition count is a DATA-size knob, not a core-count knob: the scaling

@@ -124,36 +124,42 @@ def langid_scores(col: Column | str) -> dict[str, Column]:
     return {lang: _word_hits(c, words) for lang, words in LANG_LEXICONS.items()}
 
 
-# Single alternation over every lexicon word (longest-first so prefix pairs
-# like le/les never depend on backtracking). Because each branch is
-# \b-bounded on both sides, a match is always a complete token equal to a
-# lexicon word — so one combined scan finds exactly the union of the spans
-# the per-lexicon scans find, and membership tallying reproduces each
-# per-lexicon count bit-for-bit (shared words like 'la' count for both).
+# Union of every lexicon word. A `\b(w)\b` match on lowered text is always
+# a maximal ASCII word-char run equal to a lexicon word, so extracting the
+# runs and filtering by membership in this set finds exactly the same
+# matches as the per-lexicon alternation scans — and membership tallying
+# then reproduces each per-lexicon count bit-for-bit (shared words like
+# 'la' count for both languages).
 _ALL_LEXICON_WORDS: tuple[str, ...] = tuple(
     sorted({w for ws in LANG_LEXICONS.values() for w in ws},
            key=lambda w: (-len(w), w))
 )
-_LANGID_PATTERN = r"\b(" + "|".join(_ALL_LEXICON_WORDS) + r")\b"
 
 
 def langid_col(col: Column | str) -> Column:
     """Argmax over lexicon-hit scores, ties broken by LANG_ORDER; all-zero
     scores -> 'und'. SQL twin is the per-lexicon CASE cascade
     (`langid_scores` shape); this implementation is value-identical but
-    runs ONE regex pass over the text instead of one per language: a single
-    regexp_extract_all over the combined alternation, then the per-language
-    tally + argmax fused into one `aggregate` finish-lambda so the match
-    array is built and folded exactly once per row (no reliance on
-    subexpression elimination). At corpus scale the regex scan dominates,
-    so this is ~len(LANG_LEXICONS)x fewer full-text passes."""
+    runs ONE cheap regex pass over the text instead of one alternation scan
+    per language: extract maximal word-character runs (`[a-z0-9_]+` on the
+    lowered text — exactly the spans a `\\b(word)\\b` alternation could
+    match, since Java's \\b is ASCII-\\w-relative), keep only lexicon
+    members, then fuse the per-language tally + argmax into one `aggregate`
+    finish-lambda. Equivalence to the alternation form: `\\b(w)\\b` matches
+    iff a maximal word-char run equals w, so filtering runs by membership
+    yields the same multiset of matches. Measured 1.7x faster than the
+    combined-alternation scan (alternation retry per boundary position vs
+    a single character-class inner loop; see OPTIMIZATION_r06.md)."""
     c = F.col(col) if isinstance(col, str) else col
     # coalesce: NULL text must still classify 'und' (the per-lexicon form's
     # NULL comparisons all fall through to the 'und' default; aggregate over
     # a NULL array would instead return NULL)
-    matches = F.coalesce(
-        F.regexp_extract_all(F.lower(c), F.lit(_LANGID_PATTERN), F.lit(0)),
-        F.array().cast("array<string>"),
+    matches = F.filter(
+        F.coalesce(
+            F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9_]+"), F.lit(0)),
+            F.array().cast("array<string>"),
+        ),
+        lambda x: x.isin(*_ALL_LEXICON_WORDS),
     )
     init = F.struct(*[F.lit(0).cast("long").alias(lang) for lang in LANG_ORDER])
 

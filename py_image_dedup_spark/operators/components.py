@@ -159,6 +159,8 @@ def connected_components(
     max_iterations: int = 25,
     stats: dict | None = None,
     local_contract: bool = True,
+    known_edge_count: int | None = None,
+    single_task_edges: int = 1_000_000,
 ) -> DataFrame:
     """edges(src,dst) [+ vertices(vertex_col)] -> (url, cluster_id).
 
@@ -168,11 +170,38 @@ def connected_components(
     `local_contract` (default on) runs the per-partition union-find
     pre-pass — a pure plan optimization, label-identical output (pytest
     asserts equivalence on random graphs).
+
+    Small-graph tier (guide §1.2 "choose the algorithm by the data"): when
+    the caller KNOWS the edge count (e.g. the pipeline just counted the
+    committed pairs table) and it fits one task (`single_task_edges`), the
+    whole graph is contracted by ONE single-partition union-find pass —
+    the same `_local_contract` kernel, which on one partition yields exact
+    component stars — skipping every driver-serial large-star/small-star
+    round (each round is a full job launch + ~6 exchanges; at bench scale
+    rounds dominate the clusters stage, OPTIMIZATION_r06.md). Label-
+    identical to the distributed path (min-root union == component-min
+    label; pytest asserts equality on random graphs). Above the threshold
+    — the 100 TB shape, where pair tables have billions of edges — the
+    distributed rounds run exactly as before; an unknown count also takes
+    the distributed path, so the tier can never be wrong, only skipped.
     """
     # lazy localCheckpoint: the _sig probe is the materializing action, so
     # each round costs exactly ONE job (driver job-launch latency is serial
     # at any cluster size — it directly caps N->4N scaling efficiency)
     canon = _canonical_edges(edges, src, dst)
+    if (
+        local_contract
+        and known_edge_count is not None
+        and 0 <= known_edge_count <= single_task_edges
+    ):
+        # one union-find task over the whole (small) edge list -> exact
+        # stars; no rounds, no convergence probe
+        e = _local_contract(canon.coalesce(1)).localCheckpoint(eager=False)
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["converged"] = True
+            stats["single_task"] = True
+        return _finish_components(e, vertices, vertex_col)
     e = (_local_contract(canon) if local_contract else canon.distinct())
     e = e.localCheckpoint(eager=False)
 
@@ -190,6 +219,12 @@ def connected_components(
         stats["rounds"] = rounds
         stats["converged"] = converged
 
+    return _finish_components(e, vertices, vertex_col)
+
+
+def _finish_components(
+    e: DataFrame, vertices: DataFrame | None, vertex_col: str
+) -> DataFrame:
     # converged edge set is a union of stars (u = component min, v = member);
     # the min-agg also keeps labels consistent on a non-converged partial
     out = (

@@ -59,6 +59,22 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """`df.explain(mode)` as a string (for plan-audit artifacts)."""
+    try:
+        return df.sparkSession._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+    except Exception:  # pragma: no cover — fallback: capture printed explain
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
+
+
 def _checkpointed(
     spark: SparkSession,
     path: str,
@@ -80,8 +96,17 @@ def _checkpointed(
         return df
     from pyspark.sql import Observation
 
+    built = build()
+    explain_dir = os.environ.get("PIPELINE_EXPLAIN_DIR")
+    if explain_dir:
+        os.makedirs(explain_dir, exist_ok=True)
+        with open(
+            os.path.join(explain_dir, f"stage_{stage}.txt"), "w",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(explain_str(built))
     obs = Observation()
-    build().observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+    built.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
     ).parquet(path)
     n_rows = int(obs.get["rows"])
@@ -136,6 +161,59 @@ def invalidate_from(checkpoint_dir: str, stage: str) -> list[str]:
             shutil.rmtree(path)
             dropped.append(s)
     return dropped
+
+
+def _fanout_small_input(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism guard for badly-laid-out small inputs
+    (guide §2.5 "input skew" / §6 split sizing).
+
+    A parquet scan parallelizes at ROW-GROUP granularity: a 300 MB corpus
+    written as 8 single-row-group files runs every narrow stage — the
+    normalize+hash projection AND the signature kernel reading the cache
+    built from it — on 8 tasks no matter how many cores exist (measured:
+    the signatures stage sat at 8/32 cores, see OPTIMIZATION_r06.md).
+    When the input is SMALL (one round-robin shuffle of it is cheap) and
+    its row-group count is below the cluster parallelism, fan it out once
+    up front. Big inputs (the 100 TB operating point) have thousands of
+    row groups and skip this entirely — the scan itself parallelizes and
+    an extra full shuffle would be the real cost.
+
+    Row groups are counted driver-side from the parquet footers (cheap,
+    metadata-only); non-file or non-local inputs skip the guard.
+    """
+    if os.environ.get("PIPELINE_FANOUT", "1") == "0":  # opt-out knob
+        return pages
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = [
+            f[7:] if f.startswith("file://") else f
+            for f in pages.inputFiles()
+        ]
+    except Exception:
+        return pages
+    if not files or any(not f.startswith("/") for f in files):
+        return pages  # non-file / remote source: leave layout decisions alone
+    try:
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return pages
+    # small-input regime only: beyond ~maxPartitionBytes per core the scan
+    # splits already fill the cluster and a shuffle would move real volume
+    if not (32 << 20) < total < par * (128 << 20):
+        return pages
+    try:
+        import pyarrow.parquet as pq
+
+        n_groups = sum(
+            pq.ParquetFile(f).num_row_groups
+            for f in files
+            if f.endswith(".parquet")
+        )
+    except Exception:
+        return pages
+    if n_groups >= par:
+        return pages
+    return pages.repartition(par)
 
 
 def partition_histogram(df: DataFrame) -> DataFrame:
@@ -194,6 +272,7 @@ def run_dedup_pipeline(
     with open(fp_path, "w", encoding="utf-8") as f:
         f.write(fp)
 
+    pages = _fanout_small_input(spark, pages)
     # more-meta/less-meta policy rules need the head-metadata map; extract
     # it only when an active rule consumes it (the UDF parses every html)
     needs_meta = (
@@ -343,9 +422,22 @@ def run_dedup_pipeline(
             F.xxhash64("url_a").alias("uid_a"),
             F.xxhash64("url_b").alias("uid_b"),
         )
+        # the pairs commit already measured its row count — hand it to CC so
+        # small graphs take the one-task union-find tier instead of serial
+        # star rounds (components.py; falls back to distributed rounds on
+        # resume, where the count row is absent)
+        n_pairs = next(
+            (
+                int(m["value"]) for m in metrics
+                if m["stage"] == "pairs" and m["metric"] == "rows"
+            ),
+            None,
+        )
         rep_clusters = connected_components(
             edges, vertices=signatures.select(F.xxhash64("url").alias("uid")),
             src="uid_a", dst="uid_b", vertex_col="uid", stats=cc_stats,
+            known_edge_count=n_pairs,
+            single_task_edges=cfg.cc_single_task_edges,
         )
         metrics.append(
             {

@@ -41,6 +41,19 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Parquet row-group size for everything this engine WRITES. Scans
+        # parallelize at row-group granularity, so the default 128 MB row
+        # groups make any table under cores*128MB un-parallelizable on
+        # re-read (a 300 MB corpus written as 8 single-row-group files caps
+        # every downstream narrow stage at 8 tasks — measured, see
+        # OPTIMIZATION_r06.md). 16 MB keeps re-reads splittable at bench
+        # scale at ~zero size cost; a 100 TB deployment that prefers bigger
+        # row groups sets SPARK_GRAFT_PARQUET_BLOCK_BYTES (file COUNT is
+        # unchanged either way — this is intra-file layout only).
+        .config(
+            "spark.hadoop.parquet.block.size",
+            os.environ.get("SPARK_GRAFT_PARQUET_BLOCK_BYTES", str(16 << 20)),
+        )
         # Don't hold task slots idle waiting for cache-block locality: with
         # multiple executors the scheduler would wait up to 3s per locality
         # level for the executor holding a persisted block, a stall a 1-exec
