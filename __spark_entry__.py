@@ -110,16 +110,6 @@ def q_keep_best_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level aggregation: cluster-size histogram of the synthetic
-    clusters (group size -> how many clusters have it)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 97).alias("cluster_id")
-    )
-    sizes = d.groupBy("cluster_id").agg(F.count("*").alias("sz"))
-    return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
-
-
 def q_topk_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k window: 3 longest docs per source."""
     d = load_table(spark, sf_dir, "documents")
@@ -655,7 +645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_actions": q_exact_dedup_actions,
         "keep_best_policy": q_keep_best_policy,
-        "cluster_size_histogram": q_cluster_size_histogram,
         "topk_by_source": q_topk_by_source,
         "action_counts": q_action_counts,
         "lang_filter": q_lang_filter,
@@ -1084,13 +1073,6 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY cluster_id) AS keep_id,
                    CASE WHEN rank = 1 THEN 'keep' ELSE 'delete' END AS action
             FROM r
-        """,
-        "cluster_size_histogram": """
-            WITH s AS (
-              SELECT doc_id % 97 AS cluster_id, count(*) AS sz
-              FROM documents GROUP BY 1
-            )
-            SELECT sz, count(*) AS n_clusters FROM s GROUP BY sz
         """,
         "topk_by_source": """
             WITH r AS (

@@ -160,6 +160,12 @@ def run_ab(knob: str, cycles: int = 3) -> None:
         for val in ("0", "1"):
             if knob in _CFG_KNOBS:
                 run_cfg = dataclasses.replace(cfg, **_CFG_KNOBS[knob](val))
+            elif knob == "AQE_SHJ":
+                spark.conf.set(
+                    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                    "67108864" if val == "1" else "0",
+                )
+                run_cfg = cfg
             else:
                 os.environ[knob] = val
                 run_cfg = cfg

@@ -400,9 +400,13 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+    if audio_format != 1 or bits not in (8, 16) or channels < 1 or rate < 1:
+        # rate==0 must be rejected HERE: audio_meta divides by it, and a
+        # ZeroDivisionError is not in its tolerated-exception tuple — one
+        # malformed payload would fail the whole Arrow batch (ADVICE r5)
         raise ValueError(
-            f"unsupported WAV (format={audio_format}, bits={bits})"
+            f"unsupported WAV (format={audio_format}, bits={bits}, "
+            f"rate={rate})"
         )
     if bits == 16:
         x = np.frombuffer(

@@ -140,14 +140,22 @@ def main() -> None:
         boot_id = open("/proc/sys/kernel/random/boot_id").read().strip()
     except OSError:
         boot_id = "unknown"
-    prior = []
+    entries = []
     if os.path.exists(hist_path):
         with open(hist_path) as f:
-            prior = [
-                j["anchor"] for j in map(json.loads, f)
-                if j.get("boot_id") == boot_id and not j.get("suspect")
-            ]
-    anchor_suspect = bool(prior) and anchor < 0.85 * statistics.median(prior)
+            entries = [json.loads(line) for line in f]
+    prior = [
+        j["anchor"] for j in entries
+        if j.get("boot_id") == boot_id and not j.get("suspect")
+    ]
+    # Bootstrap blind spot (ADVICE r5): the FIRST anchors of a boot have no
+    # history to compare against, so a storm-level anchor would silently
+    # become the boot's trusted quiet baseline. Trust the median only once
+    # >=2 non-suspect priors exist; earlier anchors are marked provisional.
+    provisional = len(prior) < 2
+    anchor_suspect = (
+        not provisional and anchor < 0.85 * statistics.median(prior)
+    )
     if anchor_suspect:
         print(
             f"  [WARNING: anchor {anchor} is below 0.85x this boot's known "
@@ -155,11 +163,31 @@ def main() -> None:
             "is likely active; results will be flagged suspect]",
             flush=True,
         )
+    # Retro-flag the complementary case: a NEW clearly-higher anchor proves
+    # earlier same-boot anchors were themselves storm-level — rewrite them
+    # as suspect so later medians stop being dragged down by them.
+    retro = [
+        j for j in entries
+        if j.get("boot_id") == boot_id and not j.get("suspect")
+        and not anchor_suspect and j["anchor"] < 0.85 * anchor
+    ]
+    if retro:
+        for j in retro:
+            j["suspect"] = True
+            j["retro_flagged"] = True
+        print(
+            f"  [retro-flagged {len(retro)} earlier anchor(s) below 0.85x "
+            f"the new quiet level {anchor}]", flush=True,
+        )
+        with open(hist_path, "w") as f:
+            for j in entries:
+                f.write(json.dumps(j) + "\n")
     os.makedirs(os.path.dirname(hist_path), exist_ok=True)
     with open(hist_path, "a") as f:
         f.write(json.dumps({
             "boot_id": boot_id, "anchor": anchor,
-            "suspect": anchor_suspect, "ts": round(time.time(), 1),
+            "suspect": anchor_suspect, "provisional": provisional,
+            "ts": round(time.time(), 1),
         }) + "\n")
 
     results: dict[int, list[dict]] = {n_lo: [], n_hi: []}

@@ -164,6 +164,30 @@ def test_audio_meta_empty_wav_data_chunk_no_overflow(spark):
     assert row["duration_s"] == 0.0
 
 
+def test_audio_meta_zero_rate_wav_degrades_not_crashes(spark):
+    """A fmt chunk declaring sample_rate=0 must be rejected by decode_wav
+    as ValueError (tolerated per-row by audio_meta) — not reach the
+    `len(mono) / rate` division, whose ZeroDivisionError is outside the
+    tolerated tuple and would fail the whole Arrow batch (ADVICE r5)."""
+    import struct as _s
+
+    import pytest
+
+    from py_image_dedup_spark.operators.multimodal import decode_wav
+
+    wav = bytearray(encode_wav_pcm16(np.zeros(16), 8000))
+    # sample_rate field: RIFF(12) + 'fmt '+size(8) + format,channels(4)
+    _s.pack_into("<I", wav, 24, 0)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+    df = spark.createDataFrame(
+        [("zr", bytearray(wav))], "url string, payload binary"
+    )
+    row = audio_meta(df).collect()[0]
+    assert row["container"] == "unknown"
+    assert row["duration_s"] is None
+
+
 def test_mp3_xing_with_crc_protection():
     """Protection bit 0 (CRC present): the 2-byte CRC sits between header
     and side info, shifting the Xing tag by 2 — the offset path a
