@@ -24,16 +24,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine_col(a, b):
-    """Cosine similarity of two array columns, computed in double, JVM-side."""
+def dot_col(a, b):
+    """Dot product of two array columns, computed in double, JVM-side."""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))
-    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))
-    return dot / (na * nb)
+
+
+def norm_col(v):
+    """L2 norm of an array column — the exact subexpression `cosine_col`
+    evaluates per side. Pre-computing it per ROW before a join/cross-join
+    turns the 3 array-aggregates per scored pair into 1 (the dot), with
+    bit-identical sims: same expression tree over the same array yields
+    the same double, and `dot / (na * nb)` is unchanged (guide §1.2
+    per-task work; measured in OPTIMIZATION_r06.md)."""
+    dv = F.transform(v, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0),
+                    lambda a_, v_: a_ + v_)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two array columns, computed in double, JVM-side."""
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
 def brute_force_topk(
@@ -50,14 +66,21 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            norm_col(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            dot_col(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -127,15 +150,21 @@ def _rerank_pairs(
     list — each vector table shuffled ONCE, keyed by id — and score with
     exact cosine. Returns cand + qv/cv/sim columns."""
     lv = left_vecs.select(
-        F.col(id_col).alias(left_id), F.col(vec_col).alias("qv")
+        F.col(id_col).alias(left_id), F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("_qn"),
     )
     rv = right_vecs.select(
-        F.col(id_col).alias(right_id), F.col(vec_col).alias("cv")
+        F.col(id_col).alias(right_id), F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("_cn"),
     )
     return (
         cand.join(lv, left_id)
         .join(rv, right_id)
-        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            dot_col(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+        .drop("_qn", "_cn")
     )
 
 
@@ -282,10 +311,12 @@ def ivf_topk(
         )
     corpus_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("_cn"),
         F.explode(_make_cell_udf(centroids, 1)(F.col(vec_col))).alias("cell"),
     )
     query_cells = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("_qn"),
         F.explode(
             _make_cell_udf(centroids, min(nprobe, len(centroids)))(F.col(vec_col))
         ).alias("cell"),
@@ -293,9 +324,11 @@ def ivf_topk(
     cand = (
         query_cells.join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "_qn", "neighbor_id", "cv", "_cn")
     )
-    scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    scored = cand.withColumn(
+        "sim", dot_col(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -315,12 +348,17 @@ def embedding_neardup_pairs(
     """All pairs with cosine >= min_cosine (id_a < id_b). EXACT — O(n^2)
     crossJoin, the verification oracle for embedding_neardup_pairs_lsh;
     never the plan to run at corpus scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  norm_col(F.col(vec_col)).alias("_na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  norm_col(F.col(vec_col)).alias("_nb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim",
+            dot_col(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .where(F.col("sim") >= F.lit(float(min_cosine)))
         .select("id_a", "id_b", "sim")
     )
@@ -441,6 +479,9 @@ def semantic_dedup(
     cells = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
+        # per-row norm, computed ONCE here instead of per candidate pair
+        # in every tier's cosine check (bit-identical sims; norm_col doc)
+        norm_col(F.col(vec_col)).alias("_n"),
         F.element_at(
             _make_cell_udf(centroids, 1)(F.col(vec_col)), 1
         ).alias("cell"),
@@ -460,7 +501,9 @@ def semantic_dedup(
             stats["hot_cell_rows"] = int(sum(hot.values()))
 
         sim_ok = lambda va, vb: (  # noqa: E731
-            cosine_col(F.col(va), F.col(vb)) >= F.lit(float(threshold))
+            dot_col(F.col(va), F.col(vb))
+            / (F.col(f"_n{va[-1]}") * F.col(f"_n{vb[-1]}"))
+            >= F.lit(float(threshold))
         )
         tiers = []
         # cool: plain self-join on the cell key (filter skipped entirely
@@ -471,9 +514,11 @@ def semantic_dedup(
                 if (warm_c or hot) else cells
             )
             ca = cool.select(F.col(id_col).alias("_ida"),
-                             F.col("_v").alias("_va"), "cell")
+                             F.col("_v").alias("_va"),
+                             F.col("_n").alias("_na"), "cell")
             cb = cool.select(F.col(id_col).alias("_idb"),
-                             F.col("_v").alias("_vb"), "cell")
+                             F.col("_v").alias("_vb"),
+                             F.col("_n").alias("_nb"), "cell")
             tiers.append(
                 ca.join(cb, "cell").where(F.col("_ida") < F.col("_idb"))
                 .where(sim_ok("_va", "_vb")).select("_ida", "_idb")
@@ -483,13 +528,13 @@ def semantic_dedup(
             ns = max(1, n_salts)
             wa = warm.select(
                 F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
-                "cell",
+                F.col("_n").alias("_na"), "cell",
                 F.pmod(F.xxhash64(id_col), F.lit(ns).cast("long"))
                 .alias("_salt"),
             )
             wb = warm.select(
                 F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
-                "cell",
+                F.col("_n").alias("_nb"), "cell",
                 F.explode(
                     F.sequence(F.lit(0).cast("long"),
                                F.lit(ns - 1).cast("long"))
@@ -517,11 +562,11 @@ def semantic_dedup(
             )
             ha = hot_rows.select(
                 F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
-                "cell",
+                F.col("_n").alias("_na"), "cell",
             )
             hb = F.broadcast(pivots.select(
                 F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
-                "cell",
+                F.col("_n").alias("_nb"), "cell",
             ))
             tiers.append(
                 ha.join(hb, "cell")
@@ -545,7 +590,7 @@ def semantic_dedup(
             vertex_col=id_col,
         )
         return (
-            cells.drop("_v")
+            cells.drop("_v", "_n")
             .join(comp, id_col)
             .select(
                 id_col,
